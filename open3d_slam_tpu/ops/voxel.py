@@ -1,0 +1,190 @@
+"""Voxel ops: voxel keys, voxel downsampling, within-volume voxelization,
+duplicate removal.
+
+TPU-native replacements for the reference's voxel machinery:
+  * key semantics  — floor(p / voxel_size), as ``VoxelHashMap.hpp:47-50``.
+  * voxel_downsample — mean position/normal/color per voxel, as Open3D's
+    ``VoxelDownSample`` used at ``helpers.cpp:107-113``.
+  * voxelize_within_cropping_volume — points outside the volume pass through,
+    points inside are voxel-averaged (``helpers.cpp:115-183``).
+  * remove_duplicate_points_in_voxels — keep one point per voxel
+    (``Voxel.cpp:162-191``).
+
+Everything is static-shape: clouds are padded ``PointCloud`` pytrees and
+"removal" toggles mask bits.  Unique-voxel segmentation uses a collision-free
+lexicographic sort of integer voxel coords (3 stable sort passes) rather than
+a hash, so voxel merging is exact.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from open3d_slam_tpu.utils.pointcloud import PointCloud
+
+INT32_MAX = jnp.iinfo(jnp.int32).max
+
+
+def voxel_coords(points: jnp.ndarray, voxel_size: float) -> jnp.ndarray:
+    """Integer voxel coordinates, floor(p / voxel_size) (int32)."""
+    return jnp.floor(points / voxel_size).astype(jnp.int32)
+
+
+def hash_coords(coords: jnp.ndarray) -> jnp.ndarray:
+    """Spatial hash of int32 voxel coords -> int32 (wrapping arithmetic).
+
+    Additive large-prime hash (same family as the reference's
+    ``x + 17191*y + 17191^2*z``, ``VoxelHashMap.hpp:25-35``).  Additive — not
+    XOR — so that no two cells within any small neighborhood can collide:
+    p1*dx + p2*dy + p3*dz == 0 (mod 2^32) has no small-integer solutions for
+    these primes, which guarantees the 27-cell query never double-counts a
+    point.  Distant collisions only add candidates that the Euclidean
+    distance check rejects.
+    """
+    x = coords[..., 0] * jnp.int32(73856093)
+    y = coords[..., 1] * jnp.int32(19349669)
+    z = coords[..., 2] * jnp.int32(83492791)
+    return x + y + z
+
+
+def _lex_order(coords: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Stable lexicographic argsort of voxel coords; invalid entries last."""
+    n = coords.shape[0]
+    order = jnp.arange(n)
+    # Three stable sort passes: x (least significant) .. then z, then validity.
+    for axis in (0, 1, 2):
+        key = coords[order, axis]
+        order = order[jnp.argsort(key, stable=True)]
+    key = (~valid[order]).astype(jnp.int32)
+    order = order[jnp.argsort(key, stable=True)]
+    return order
+
+
+def _segment_starts(coords_sorted: jnp.ndarray, valid_sorted: jnp.ndarray) -> jnp.ndarray:
+    """Boolean start-of-segment flags over lexicographically sorted coords."""
+    prev = jnp.roll(coords_sorted, 1, axis=0)
+    diff = jnp.any(coords_sorted != prev, axis=-1)
+    diff = diff.at[0].set(True)
+    return diff & valid_sorted
+
+
+@partial(jax.jit, static_argnames=("voxel_size", "out_capacity"))
+def voxel_downsample(pc: PointCloud, voxel_size: float,
+                     out_capacity: Optional[int] = None) -> PointCloud:
+    """Voxel-grid downsample: mean of positions (and normals/colors) per voxel.
+
+    Matches Open3D ``VoxelDownSample`` semantics (mean aggregation).  Output
+    is a padded cloud of ``out_capacity`` (default: same as input capacity),
+    valid points compacted to the front in lexicographic voxel order.
+
+    TPU note: implemented as sort + prefix-sum + gather (segment sums via
+    cumsum differences at segment boundaries) — XLA scatter is serial on TPU
+    and ~1000x slower, so no ``segment_sum``/``.at[].add`` anywhere here.
+    """
+    n = pc.capacity
+    out_capacity = out_capacity or n
+    coords = voxel_coords(pc.points, voxel_size)
+    order = _lex_order(coords, pc.mask)
+    coords_s = coords[order]
+    valid_s = pc.mask[order]
+    starts = _segment_starts(coords_s, valid_s)
+    seg_id = jnp.cumsum(starts.astype(jnp.int32)) - 1
+    # Invalid points (sorted to the tail) get a sentinel so boundary searches
+    # over seg_id stay monotonic.
+    seg_id = jnp.where(valid_s, seg_id, jnp.int32(n + 1))
+
+    # Segment boundaries for output slots 0..out_capacity-1 via binary search.
+    slots = jnp.arange(out_capacity, dtype=jnp.int32)
+    start_pos = jnp.searchsorted(seg_id, slots, side="left")
+    end_pos = jnp.searchsorted(seg_id, slots, side="right")
+
+    def seg_sum(vals_sorted):
+        vals_sorted = jnp.where(valid_s[:, None], vals_sorted, 0.0)
+        csum = jnp.concatenate(
+            [jnp.zeros((1, vals_sorted.shape[1]), vals_sorted.dtype),
+             jnp.cumsum(vals_sorted, axis=0)], axis=0)
+        return csum[end_pos] - csum[start_pos]
+
+    counts = (end_pos - start_pos).astype(jnp.float32)[:, None]
+    denom = jnp.clip(counts, 1.0, None)
+    pts = seg_sum(pc.points[order]) / denom
+    mask = counts[:, 0] > 0
+
+    normals = None
+    if pc.normals is not None:
+        normals = seg_sum(pc.normals[order]) / denom
+        nn = jnp.linalg.norm(normals, axis=-1, keepdims=True)
+        normals = normals / jnp.clip(nn, 1e-12, None)
+    colors = None
+    if pc.colors is not None:
+        colors = seg_sum(pc.colors[order]) / denom
+    return PointCloud(points=pts, mask=mask, normals=normals, colors=colors)
+
+
+@partial(jax.jit, static_argnames=("voxel_size",))
+def remove_duplicate_points_in_voxels(pc: PointCloud, voxel_size: float) -> PointCloud:
+    """Keep only the first point (in lexicographic voxel order) per voxel.
+
+    Mirrors ``VoxelMap::removeDuplicatePointsWithinSameVoxels``
+    (``Voxel.cpp:162-191``).  Mask-only operation (no compaction).
+    """
+    coords = voxel_coords(pc.points, voxel_size)
+    order = _lex_order(coords, pc.mask)
+    coords_s = coords[order]
+    valid_s = pc.mask[order]
+    starts = _segment_starts(coords_s, valid_s)
+    # keep[order[i]] = starts[i]  — apply the inverse permutation by gather
+    # (scatter is serial on TPU).
+    inv = jnp.argsort(order)
+    keep = starts[inv]
+    return pc.with_(mask=pc.mask & keep)
+
+
+@partial(jax.jit, static_argnames=("voxel_size", "out_capacity"))
+def voxelize_within_cropping_volume(pc: PointCloud, voxel_size: float,
+                                    inside: jnp.ndarray,
+                                    out_capacity: Optional[int] = None) -> PointCloud:
+    """Voxel-average points where ``inside`` is True; pass others through.
+
+    Mirrors ``voxelizeWithinCroppingVolume`` (``helpers.cpp:115-183``): points
+    outside the cropping volume are kept verbatim, points inside are merged
+    per voxel.  If voxel_size <= 0 the input is returned unchanged (reference
+    behavior).
+    """
+    out_capacity = out_capacity or pc.capacity
+    if voxel_size <= 0:
+        return pc
+    inside = inside & pc.mask
+    outside = pc.mask & ~inside
+    pc_in = pc.with_(mask=inside)
+    down = voxel_downsample(pc_in, voxel_size, out_capacity=pc.capacity)
+    # Concatenate downsampled-inside + untouched-outside, then compact.
+    from open3d_slam_tpu.utils import pointcloud as pclib
+    merged = pclib.concat(down, pc.with_(mask=outside), capacity=out_capacity)
+    return merged
+
+
+@partial(jax.jit, static_argnames=("num_samples",))
+def random_downsample(pc: PointCloud, num_samples: int, key: jax.Array) -> PointCloud:
+    """Seeded uniform subsample to at most ``num_samples`` valid points.
+
+    Replaces Open3D ``RandomDownSample`` (used by odometry preprocessing at
+    ``Odometry.cpp:29``) with a deterministic seeded choice.  Mask-only.
+    """
+    n = pc.capacity
+    scores = jax.random.uniform(key, (n,))
+    # Invalid points get +inf so they sort last.
+    scores = jnp.where(pc.mask, scores, jnp.inf)
+    order = jnp.argsort(scores)
+    keep_sorted = jnp.arange(n) < num_samples
+    inv = jnp.argsort(order)
+    keep = keep_sorted[inv]
+    return pc.with_(mask=pc.mask & keep)
+
+
+def voxel_centers(coords: jnp.ndarray, voxel_size: float) -> jnp.ndarray:
+    """Center position of voxels given integer coords."""
+    return (coords.astype(jnp.float32) + 0.5) * voxel_size
