@@ -1,0 +1,134 @@
+"""Constraint types + odometry constraint builders.
+
+Mirror of the reference's ``Constraint`` (``Constraints.hpp``) and
+``constraint_builders.cpp``:
+  * odometry constraints between parent/child submaps: overlap extraction ->
+    optional ICP refine -> information matrix
+    (``buildOdometryConstraint``/``buildConstraint``,
+    ``constraint_builders.cpp:33-90``);
+  * ``computeOdometryConstraints`` overloads (``:92-118``).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from open3d_slam_tpu.ops import overlap as overlap_ops
+from open3d_slam_tpu.ops import hashgrid, pose_graph as pg_ops, registration as reg_ops
+from open3d_slam_tpu.utils import se3
+from open3d_slam_tpu.utils.pointcloud import PointCloud
+
+# magic.hpp mirrors
+VOXEL_SIZE_CORR_SEARCH_IF_ZERO = 0.04
+ICP_RUN_UNTIL_CONVERGENCE_ITERS = 100
+VOXEL_EXPANSION_OVERLAP = 20.0
+VOXEL_EXPANSION_ICP_CORR = 1.5
+
+
+@dataclasses.dataclass
+class Constraint:
+    """Pose-graph constraint between two submaps (``Constraints.hpp``)."""
+
+    source_submap_idx: int
+    target_submap_idx: int
+    source_to_target: np.ndarray           # 4x4
+    information_matrix: np.ndarray         # 6x6
+    is_odometry_constraint: bool = True
+    is_information_matrix_valid: bool = False
+    timestamp: Optional[float] = None
+
+
+def get_map_voxel_size(map_voxel_size: float) -> float:
+    return VOXEL_SIZE_CORR_SEARCH_IF_ZERO if abs(map_voxel_size) <= 1e-3 else map_voxel_size
+
+
+def _masked(pc: PointCloud, mask) -> PointCloud:
+    return pc.with_(mask=pc.mask & mask)
+
+
+def build_constraint(source_idx: int, target_idx: int, submaps,
+                     is_compute_overlap: bool,
+                     icp_max_corr_distance: float,
+                     voxel_size_overlap: float,
+                     is_estimate_information_matrix: bool,
+                     is_skip_icp_refinement: bool) -> Constraint:
+    """``buildConstraint`` (``constraint_builders.cpp:43-90``)."""
+    source = submaps.get_submap(source_idx).map_cloud
+    target = submaps.get_submap(target_idx).map_cloud
+
+    if is_compute_overlap:
+        src_m, tgt_m = overlap_ops.overlapping_masks(
+            source, target, jnp.eye(4), voxel_size_overlap)
+        source = _masked(source, src_m)
+        target = _masked(target, tgt_m)
+
+    T_icp = jnp.eye(4)
+    if not is_skip_icp_refinement:
+        grid = hashgrid.build(target, cell_size=icp_max_corr_distance)
+        res = reg_ops.icp_point_to_plane(
+            source, grid, jnp.eye(4), icp_max_corr_distance,
+            max_iterations=ICP_RUN_UNTIL_CONVERGENCE_ITERS)
+        T_icp = res.transformation
+
+    info = np.eye(6)
+    if is_estimate_information_matrix:
+        # Correspondences of transformed source within icp distance.
+        grid = hashgrid.build(target, cell_size=icp_max_corr_distance)
+        pts = se3.transform_points(T_icp, source.points)
+        idx, d2, found = hashgrid.query_nearest(grid, pts, icp_max_corr_distance)
+        q = grid.points_sorted[idx]
+        info = np.asarray(pg_ops.information_matrix_from_correspondences(
+            q, found & source.mask), np.float64)
+
+    return Constraint(
+        source_submap_idx=source_idx,
+        target_submap_idx=target_idx,
+        source_to_target=np.asarray(T_icp, np.float64),
+        information_matrix=info,
+        is_odometry_constraint=True,
+        is_information_matrix_valid=is_estimate_information_matrix,
+    )
+
+
+def build_odometry_constraint(source_idx: int, target_idx: int, submaps) -> Constraint:
+    """``buildOdometryConstraint`` (``constraint_builders.cpp:33-41``)."""
+    p = submaps.params
+    vox = get_map_voxel_size(p.map_builder.map_voxel_size)
+    c = build_constraint(
+        source_idx, target_idx, submaps,
+        is_compute_overlap=True,
+        icp_max_corr_distance=VOXEL_EXPANSION_ICP_CORR * vox,
+        voxel_size_overlap=VOXEL_EXPANSION_OVERLAP * vox,
+        is_estimate_information_matrix=True,
+        is_skip_icp_refinement=not p.is_refine_odometry_constraints_between_submaps)
+    c.is_odometry_constraint = True
+    return c
+
+
+def _has_constraint(source_idx, target_idx, constraints: List[Constraint]) -> bool:
+    return any(c.source_submap_idx == source_idx and c.target_submap_idx == target_idx
+               for c in constraints)
+
+
+def compute_odometry_constraints(submaps, constraints: List[Constraint],
+                                 candidates=None):
+    """Both overloads of ``computeOdometryConstraints``
+    (``constraint_builders.cpp:92-118``); appends in place."""
+    if candidates is not None:
+        for cand in candidates:
+            if cand.submap_id < 1:
+                continue
+            target = cand.submap_id
+            source = submaps.get_submap(target).parent_id
+            if not _has_constraint(source, target, constraints):
+                constraints.append(build_odometry_constraint(source, target, submaps))
+    else:
+        active = submaps.get_active_submap().id
+        for target in range(1, submaps.get_num_submaps()):
+            source = submaps.get_submap(target).parent_id
+            if (not _has_constraint(source, target, constraints)
+                    and source != active and target != active):
+                constraints.append(build_odometry_constraint(source, target, submaps))

@@ -1,0 +1,175 @@
+"""Mapper: scan-to-map refinement + map insertion.
+
+Mirror of the reference's ``Mapper`` (``src/Mapper.cpp:30-223``):
+  * odometry motion prediction from the odom pose buffer
+    (``Mapper.cpp:132-137``);
+  * scan-to-map ICP refinement against the active submap patch;
+  * fitness gate vs ``min_refinement_fitness`` (``Mapper.cpp:151-156``);
+  * min-movement gate before merging the scan into the submap
+    (``Mapper.cpp:170-176``);
+  * loop-closure pose rewrite (``loopClosureUpdate``, ``Mapper.cpp:44-47``);
+  * map->odom computation (``getMapToOdom``, ``Mapper.cpp:58-63``).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from open3d_slam_tpu.models.buffers import TransformInterpolationBuffer
+from open3d_slam_tpu.models.scan_to_map_registration import (
+    ScanToMapIcp, scan_to_map_registration_factory)
+from open3d_slam_tpu.models.submap_collection import SubmapCollection
+from open3d_slam_tpu.utils.config import MapperParameters
+from open3d_slam_tpu.utils.pointcloud import PointCloud
+
+
+class Mapper:
+    def __init__(self, params: MapperParameters,
+                 odom_to_range_sensor_buffer: TransformInterpolationBuffer,
+                 submaps: SubmapCollection,
+                 processed_capacity: int = 16384,
+                 buffer_size_limit: int = 2000):
+        self.params = params
+        self.odom_to_range_sensor_buffer = odom_to_range_sensor_buffer
+        self.submaps = submaps
+        self.scan_to_map_reg: ScanToMapIcp = scan_to_map_registration_factory(
+            params, processed_capacity)
+        self.map_to_range_sensor = np.eye(4)
+        self.map_to_range_sensor_prev = np.eye(4)
+        self.map_to_range_sensor_last_scan_insertion = np.eye(4)
+        self.map_to_range_sensor_buffer = TransformInterpolationBuffer(buffer_size_limit)
+        self.last_measurement_timestamp: Optional[float] = None
+        self.is_new_initial_value_set = False
+        self.is_ignore_odometry_prediction = False
+        self.preprocessed_scan: Optional[PointCloud] = None
+
+    # ------------------------------------------------------------------
+
+    def loop_closure_update(self, correction: np.ndarray):
+        """``loopClosureUpdate`` (``Mapper.cpp:44-47``)."""
+        c = np.asarray(correction, np.float64)
+        self.map_to_range_sensor = c @ self.map_to_range_sensor
+        self.map_to_range_sensor_prev = c @ self.map_to_range_sensor_prev
+
+    def set_map_to_range_sensor(self, T: np.ndarray):
+        self.map_to_range_sensor = np.asarray(T, np.float64)
+
+    def set_map_to_range_sensor_initial(self, T: np.ndarray):
+        """``setMapToRangeSensorInitial`` (``Mapper.cpp:88-92``)."""
+        T = np.asarray(T, np.float64)
+        self.map_to_range_sensor_prev = T.copy()
+        self.map_to_range_sensor = T.copy()
+        self.is_new_initial_value_set = True
+
+    def has_processed_measurements(self) -> bool:
+        return not self.map_to_range_sensor_buffer.empty()
+
+    def get_map_to_range_sensor(self, t: float) -> np.ndarray:
+        return self.map_to_range_sensor_buffer.lookup_clamped(t)
+
+    def get_map_to_odom(self, t: float) -> np.ndarray:
+        """``getMapToOdom`` (``Mapper.cpp:58-63``)."""
+        odom = self.odom_to_range_sensor_buffer.lookup_clamped(t)
+        m = self.map_to_range_sensor_buffer.lookup_clamped(t)
+        return m @ np.linalg.inv(odom)
+
+    def get_active_submap(self):
+        return self.submaps.get_active_submap()
+
+    # ------------------------------------------------------------------
+
+    def add_range_measurement(self, raw_scan: PointCloud, timestamp: float) -> bool:
+        """``addRangeMeasurement`` (``Mapper.cpp:101-181``)."""
+        p = self.params
+        self.submaps.set_map_to_range_sensor(self.map_to_range_sensor)
+
+        # First scan path.
+        if self.submaps.get_active_submap().is_empty():
+            if p.is_use_initial_map:
+                assert self.scan_to_map_reg.is_merge_scan_valid(raw_scan), \
+                    "Init map invalid (needs normals for this registration type)"
+                self.submaps.insert_scan(raw_scan, raw_scan, np.eye(4), timestamp)
+            else:
+                processed = self.scan_to_map_reg.process_for_scan_matching_and_merging(
+                    raw_scan, self.map_to_range_sensor)
+                self.submaps.insert_scan(raw_scan, processed.merge, np.eye(4), timestamp)
+                self.map_to_range_sensor_buffer.push(timestamp, self.map_to_range_sensor)
+            return True
+
+        if (self.last_measurement_timestamp is not None and
+                timestamp < self.last_measurement_timestamp):
+            print("MAPPER WARNING: measurements came out of order!")
+            return False
+
+        is_odom_okay = self.odom_to_range_sensor_buffer.has(timestamp)
+
+        # Odometry motion prediction (Mapper.cpp:132-137).
+        map_to_range_sensor_estimate = self.map_to_range_sensor_prev.copy()
+        if (is_odom_okay and not self.is_new_initial_value_set and
+                not self.is_ignore_odometry_prediction and
+                self.last_measurement_timestamp is not None):
+            odom_now = self.odom_to_range_sensor_buffer.lookup_clamped(timestamp)
+            odom_prev = self.odom_to_range_sensor_buffer.lookup_clamped(
+                self.last_measurement_timestamp)
+            odometry_motion = np.linalg.inv(odom_prev) @ odom_now
+            map_to_range_sensor_estimate = self.map_to_range_sensor_prev @ odometry_motion
+        self.is_ignore_odometry_prediction = False
+
+        processed = self.scan_to_map_reg.process_for_scan_matching_and_merging(
+            raw_scan, self.map_to_range_sensor)
+        result = self.scan_to_map_reg.scan_to_map_registration(
+            processed.match, self.submaps.get_active_submap(),
+            self.map_to_range_sensor, map_to_range_sensor_estimate)
+        self.preprocessed_scan = processed.match
+
+        if self.is_new_initial_value_set:
+            self.map_to_range_sensor_prev = self.map_to_range_sensor.copy()
+            self.map_to_range_sensor_buffer.push(timestamp, self.map_to_range_sensor)
+            self.is_new_initial_value_set = False
+            self.is_ignore_odometry_prediction = True
+            return True
+
+        fitness = float(result.fitness)
+        if (not p.is_ignore_min_refinement_fitness and
+                fitness < p.scan_matcher.min_refinement_fitness):
+            print(f"Skipping the refinement step, fitness: {fitness:.3f}")
+            return False
+
+        self.map_to_range_sensor = np.asarray(result.transformation, np.float64)
+        self.map_to_range_sensor_buffer.push(timestamp, self.map_to_range_sensor)
+        self.submaps.set_map_to_range_sensor(self.map_to_range_sensor)
+
+        if p.is_use_initial_map and not p.is_merge_scans_into_map:
+            self.last_measurement_timestamp = timestamp
+            self.map_to_range_sensor_prev = self.map_to_range_sensor.copy()
+            return True
+
+        # Min-movement gate (Mapper.cpp:170-176).
+        motion = np.linalg.inv(self.map_to_range_sensor_last_scan_insertion) @ self.map_to_range_sensor
+        moved_too_little = (np.linalg.norm(motion[:3, 3]) <
+                            p.min_movement_between_mapping_steps)
+        if not moved_too_little:
+            self.submaps.insert_scan(raw_scan, processed.merge,
+                                     self.map_to_range_sensor, timestamp)
+            self.map_to_range_sensor_last_scan_insertion = self.map_to_range_sensor.copy()
+
+        self.last_measurement_timestamp = timestamp
+        self.map_to_range_sensor_prev = self.map_to_range_sensor.copy()
+        return True
+
+    # ------------------------------------------------------------------
+
+    def get_assembled_map_point_cloud(self):
+        """Concatenate all submap clouds (``getAssembledMapPointCloud``,
+        ``Mapper.cpp:183-208``) as numpy arrays."""
+        from open3d_slam_tpu.utils import pointcloud as pclib
+        parts = [pclib.to_numpy(s.map_cloud) for s in self.submaps.submaps
+                 if int(s.map_cloud.count()) > 0]
+        if not parts:
+            return {"points": np.zeros((0, 3), np.float32)}
+        out = {}
+        for k in parts[0]:
+            out[k] = np.concatenate([p[k] for p in parts if k in p], axis=0)
+        return out

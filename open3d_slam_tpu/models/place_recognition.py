@@ -1,0 +1,182 @@
+"""Place recognition: loop-closure constraint detection.
+
+Mirror of the reference's ``PlaceRecognition``
+(``src/PlaceRecognition.cpp:40-286``):
+  * candidate gating by active-adjacency / adjacency / search radius /
+    consecutiveness / min-submaps-between-closures
+    (``getLoopClosureCandidatesIdxs`` :231-284);
+  * FPFH+RANSAC global registration on the sparse 0.5 m clouds (:81-85) ->
+    min correspondence-set-size gate (:86-90);
+  * drift consistency check on the transform (roll/pitch/yaw/xyz bounds,
+    ``isRegistrationConsistent`` :182-229);
+  * overlap extraction (:103-106) + point-to-plane ICP refinement run to
+    convergence (:111) + refinement fitness gate + second consistency check;
+  * 6x6 information matrix from the aligned overlap clouds (:148-150).
+"""
+from __future__ import annotations
+
+import math
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from open3d_slam_tpu.models.adjacency import AdjacencyMatrix
+from open3d_slam_tpu.models.constraints import (
+    Constraint, ICP_RUN_UNTIL_CONVERGENCE_ITERS, VOXEL_EXPANSION_OVERLAP,
+    get_map_voxel_size)
+from open3d_slam_tpu.ops import hashgrid, overlap as overlap_ops, ransac
+from open3d_slam_tpu.ops import pose_graph as pg_ops, registration as reg_ops
+from open3d_slam_tpu.utils import se3
+from open3d_slam_tpu.utils.config import MapperParameters
+
+
+class PlaceRecognition:
+    def __init__(self, params: MapperParameters, num_ransac_hypotheses: int = 4096):
+        self.params = params
+        self.num_ransac_hypotheses = num_ransac_hypotheses
+        self._key = jax.random.PRNGKey(7)
+        self.recognition_counter = 0
+
+    # ------------------------------------------------------------------
+
+    def is_registration_consistent(self, T: np.ndarray) -> bool:
+        """Drift bounds (``PlaceRecognition.cpp:182-229``)."""
+        p = self.params.place_recognition.consistency_check
+        R = T[:3, :3]
+        roll, pitch, yaw = [float(x) for x in se3.matrix_to_rpy(jnp.asarray(R, jnp.float32))]
+        t = T[:3, 3]
+        return (abs(roll) <= p.max_drift_roll and
+                abs(pitch) <= p.max_drift_pitch and
+                abs(yaw) <= p.max_drift_yaw and
+                abs(t[0]) <= p.max_drift_x and
+                abs(t[1]) <= p.max_drift_y and
+                abs(t[2]) <= p.max_drift_z)
+
+    def get_loop_closure_candidates_idxs(self, map_to_range_sensor: np.ndarray,
+                                         submaps, adjacency: AdjacencyMatrix,
+                                         last_finished_idx: int,
+                                         active_idx: int) -> List[int]:
+        """(``PlaceRecognition.cpp:231-284``)."""
+        p = self.params.place_recognition
+        out = []
+        n = submaps.get_num_submaps()
+        finished_center = submaps.get_submap(last_finished_idx).get_map_to_submap_center()
+        for i in range(n):
+            if i == active_idx:
+                continue
+            id1 = submaps.get_submap(i).id
+            id2 = submaps.get_submap(active_idx).id
+            if adjacency.is_adjacent(id1, id2):
+                continue
+            if abs(i - last_finished_idx) == 1 or adjacency.is_adjacent(
+                    submaps.get_submap(i).id, submaps.get_submap(last_finished_idx).id):
+                continue
+            center = submaps.get_submap(i).get_map_to_submap_center()
+            distance = float(np.linalg.norm(finished_center - center))
+            if distance > p.loop_closure_search_radius:
+                continue
+            consecutive_threshold = int(math.ceil(
+                p.loop_closure_search_radius / self.params.submaps.radius))
+            if abs(i - last_finished_idx) <= consecutive_threshold:
+                continue
+            lc_distance = adjacency.get_distance_to_nearest_loop_closure_submap(
+                last_finished_idx)
+            if lc_distance < p.min_submaps_between_loop_closures:
+                continue
+            out.append(i)
+        return out
+
+    # ------------------------------------------------------------------
+
+    def build_loop_closure_constraints(self, map_to_range_sensor: np.ndarray,
+                                       submaps, adjacency: AdjacencyMatrix,
+                                       last_finished_idx: int, active_idx: int,
+                                       timestamp: float) -> List[Constraint]:
+        """(``PlaceRecognition.cpp:50-176``)."""
+        p = self.params.place_recognition
+        constraints: List[Constraint] = []
+        source_submap = submaps.get_submap(last_finished_idx)
+        if source_submap.fpfh is None:
+            return constraints
+        candidates = self.get_loop_closure_candidates_idxs(
+            map_to_range_sensor, submaps, adjacency, last_finished_idx, active_idx)
+        if not candidates:
+            return constraints
+
+        src_sparse = source_submap.feature_cloud
+        src_feat = source_submap.fpfh
+        source_full = source_submap.map_cloud
+
+        for i in candidates:
+            target_submap = submaps.get_submap(i)
+            if target_submap.fpfh is None:
+                continue
+            self._key, sub = jax.random.split(self._key)
+            ransac_res = ransac.ransac_feature_registration(
+                src_sparse, src_feat,
+                target_submap.feature_cloud, target_submap.fpfh,
+                max_correspondence_distance=p.ransac_max_correspondence_distance,
+                edge_length_similarity=p.correspondence_checker_edge_length,
+                distance_threshold=p.correspondence_checker_distance,
+                num_hypotheses=self.num_ransac_hypotheses,
+                mutual_filter=True, key=sub)
+            n_inliers = int(ransac_res.num_inliers)
+            if n_inliers < p.ransac_min_correspondence_set_size:
+                print(f"REJECTED loop closure, {n_inliers} correspondences, "
+                      f"submap {last_finished_idx} with {i}")
+                continue
+            T_ransac = np.asarray(ransac_res.transformation, np.float64)
+            if not self.is_registration_consistent(T_ransac):
+                print(f"REJECTED loop closure, ransac inconsistent, "
+                      f"submap {last_finished_idx} with {i}")
+                continue
+
+            target_full = target_submap.map_cloud
+            vox = get_map_voxel_size(self.params.map_builder.map_voxel_size)
+            src_m, tgt_m = overlap_ops.overlapping_masks(
+                source_full, target_full, jnp.asarray(T_ransac, jnp.float32),
+                VOXEL_EXPANSION_OVERLAP * vox)
+            source_overlap = source_full.with_(mask=source_full.mask & src_m)
+            target_overlap = target_full.with_(mask=target_full.mask & tgt_m)
+
+            grid = hashgrid.build(target_overlap,
+                                  cell_size=p.max_icp_correspondence_distance)
+            icp_res = reg_ops.icp_point_to_plane(
+                source_overlap, grid, jnp.asarray(T_ransac, jnp.float32),
+                p.max_icp_correspondence_distance,
+                max_iterations=ICP_RUN_UNTIL_CONVERGENCE_ITERS)
+            fitness = float(icp_res.fitness)
+            if fitness < p.min_refinement_fitness:
+                print(f"REJECTED loop closure, refinement score {fitness:.3f}, "
+                      f"submap {last_finished_idx} with {i}")
+                continue
+            T_icp = np.asarray(icp_res.transformation, np.float64)
+            if not self.is_registration_consistent(T_icp):
+                print(f"REJECTED loop closure, icp inconsistent, "
+                      f"submap {last_finished_idx} with {i}")
+                continue
+
+            # Information matrix from aligned overlap correspondences.
+            pts = se3.transform_points(jnp.asarray(T_icp, jnp.float32),
+                                       source_overlap.points)
+            idx, d2, found = hashgrid.query_nearest(
+                grid, pts, p.max_icp_correspondence_distance)
+            q = grid.points_sorted[idx]
+            info = np.asarray(pg_ops.information_matrix_from_correspondences(
+                q, found & source_overlap.mask), np.float64)
+
+            constraints.append(Constraint(
+                source_submap_idx=last_finished_idx,
+                target_submap_idx=i,
+                source_to_target=T_icp,
+                information_matrix=info,
+                is_odometry_constraint=False,
+                is_information_matrix_valid=True,
+                timestamp=timestamp,
+            ))
+            self.recognition_counter += 1
+            print(f"ACCEPTED loop closure: submap {last_finished_idx} with {i}, "
+                  f"fitness {fitness:.3f}")
+        return constraints
