@@ -1,0 +1,140 @@
+"""Benchmark: batched point-to-plane ICP registrations/sec on TPU.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
+
+Headline metric: batched scan-pair ICP registrations/sec on one chip
+(BASELINE.json target: >= 5000/s on a v5e-16 slice == 312.5/s/chip; the
+reference runs ONE Open3D CPU ICP at a time, ~10-30 ms each => ~30-100/s).
+``vs_baseline`` is value / 312.5 (per-chip share of the slice target).
+
+Also measured (extra fields): p50 single scan-to-map refinement latency vs
+the 100 ms @ 10 Hz budget, and voxelization throughput.
+"""
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from open3d_slam_tpu.io import datasets
+from open3d_slam_tpu.ops import hashgrid, normals as normals_ops, registration as reg_ops, voxel
+from open3d_slam_tpu.parallel import sharded_icp
+from open3d_slam_tpu.utils import pointcloud as pclib
+from open3d_slam_tpu.utils.pointcloud import PointCloud
+
+PER_CHIP_TARGET = 5000.0 / 16.0  # BASELINE: 5000 reg/s on v5e-16
+
+
+def _block(x):
+    jax.tree_util.tree_map(lambda a: a.block_until_ready(), x)
+
+
+def bench_batched_icp(batch=128, n_src=1024, n_tgt=2048, iters=15, repeats=3,
+                      voxel_size=0.3, corr_dist=0.5):
+    """Batch of voxelized scan-pair registrations (odometry-style workload)."""
+    rng = np.random.default_rng(0)
+    world = datasets.SyntheticWorld(datasets.SyntheticWorldConfig(
+        extent=30.0, n_ground=60000, n_walls=40000, n_pillars=30000))
+    poses = datasets.circle_trajectory(batch, radius=15.0)
+    srcs = np.zeros((batch, n_src, 3), np.float32)
+    tgts = np.zeros((batch, n_tgt, 3), np.float32)
+    for b, T in enumerate(poses):
+        scan = world.render_scan(T, max_range=25.0, n_points=n_tgt)
+        tgts[b] = scan[:n_tgt]
+        sel = rng.choice(n_tgt, n_src, replace=False)
+        srcs[b] = scan[sel] + np.array([0.15, -0.1, 0.02], np.float32)
+
+    src_pc = PointCloud(points=jnp.asarray(srcs), mask=jnp.ones((batch, n_src), bool))
+    tgt_pc = PointCloud(points=jnp.asarray(tgts), mask=jnp.ones((batch, n_tgt), bool))
+
+    # Setup (not timed): lax.map keeps the batched normals/grid prep at
+    # single-element working-set size (vmapping the radius gather would
+    # materialize a ~58 GB fusion).
+    prep = jax.jit(lambda pcs: jax.lax.map(
+        lambda p: normals_ops.estimate_normals(
+            voxel.voxel_downsample(p, voxel_size), 1.0, max_nn=10,
+            bucket_size=8), pcs))
+    tgt_pc = prep(tgt_pc)
+    grids = jax.jit(lambda pcs: jax.lax.map(
+        lambda p: hashgrid.build(p, corr_dist), pcs))(tgt_pc)
+    inits = jnp.tile(jnp.eye(4), (batch, 1, 1))
+
+    run = jax.jit(lambda s, g, T0: sharded_icp.batched_icp_p2l(
+        s, g, T0, corr_dist, max_iterations=iters, bucket_size=8))
+    res = run(src_pc, grids, inits)
+    _block(res)
+    fitness = float(np.asarray(res.fitness).mean())
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        res = run(src_pc, grids, inits)
+    _block(res)
+    dt = (time.perf_counter() - t0) / repeats
+    return batch / dt, fitness
+
+
+def bench_scan2map_latency(n_scan=8192, n_map=65536, iters=15, repeats=20):
+    rng = np.random.default_rng(1)
+    world = datasets.SyntheticWorld(datasets.SyntheticWorldConfig(
+        extent=35.0, n_ground=120000, n_walls=60000, n_pillars=40000))
+    T = np.eye(4)
+    T[:3, 3] = [5.0, 3.0, 1.5]
+    map_scan = world.render_scan(T, max_range=35.0, n_points=n_map)
+    scan = world.render_scan(T, max_range=25.0, n_points=n_scan) + \
+        np.array([0.1, -0.05, 0.0], np.float32)
+
+    map_pc = pclib.from_numpy(map_scan, capacity=n_map)
+    map_pc = normals_ops.estimate_normals(map_pc, 1.0, max_nn=10)
+    grid = hashgrid.build(map_pc, 1.0)
+    scan_pc = pclib.from_numpy(scan, capacity=n_scan)
+
+    run = jax.jit(lambda s, g, T0: reg_ops.icp_point_to_plane(
+        s, g, T0, 1.0, max_iterations=iters))
+    res = run(scan_pc, grid, jnp.eye(4))
+    _block(res)
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        res = run(scan_pc, grid, jnp.eye(4))
+        _block(res)
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times) * 1e3)
+
+
+def bench_voxelize(n=131072, repeats=10):
+    rng = np.random.default_rng(2)
+    pts = rng.uniform(-40, 40, (n, 3)).astype(np.float32)
+    pc = pclib.from_numpy(pts, capacity=n)
+    run = jax.jit(lambda p: voxel.voxel_downsample(p, 0.3))
+    out = run(pc)
+    _block(out)
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        out = run(pc)
+    _block(out)
+    dt = (time.perf_counter() - t0) / repeats
+    return n / dt / 1e6  # Mpts/s
+
+
+def main():
+    regs_per_sec, fitness = bench_batched_icp()
+    p50_ms = bench_scan2map_latency()
+    vox_mpts = bench_voxelize()
+    out = {
+        "metric": "batched_p2l_icp_registrations_per_sec_per_chip",
+        "value": round(regs_per_sec, 1),
+        "unit": "registrations/s",
+        "vs_baseline": round(regs_per_sec / PER_CHIP_TARGET, 2),
+        "batch_fitness": round(fitness, 4),
+        "scan2map_p50_ms": round(p50_ms, 2),
+        "scan2map_vs_100ms_budget": round(100.0 / p50_ms, 1),
+        "voxelize_mpts_per_sec": round(vox_mpts, 1),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

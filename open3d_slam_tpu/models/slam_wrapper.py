@@ -1,0 +1,351 @@
+"""SlamWrapper: the end-to-end SLAM orchestrator.
+
+Mirror of the reference's ``SlamWrapper`` (``src/SlamWrapper.cpp:43-487``),
+re-architected from 4 racing worker threads to a sequential, deterministic
+host pipeline feeding jitted device stages (SURVEY §7 "threads -> stages"):
+
+  reference thread              -> pipeline stage (same gate order)
+  ------------------------------------------------------------------
+  odometryWorker (:258-289)     -> _odometry_step
+  mappingWorker (:290-347)      -> _mapping_step (+ feature/LC dispatch)
+  denseMapWorker (:363-386)     -> _dense_map_step
+  loopClosureWorker (:406-448)  -> _loop_closure_step
+  updateSubmapsAndTrajectory (:450-485) -> apply_optimized_graph
+
+Ingest semantics preserved: NaN removal + out-of-order rejection on
+``add_range_scan`` (:102-115), buffer-full backpressure hooks for offline
+replay, finishProcessing's final submap + loop-closure round (:126-166),
+map/submap saving (:65-78, :242-256), and the 15 s timing telemetry
+(:282-286, :340-344, :379-383).
+"""
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from open3d_slam_tpu.models.buffers import CircularBuffer
+from open3d_slam_tpu.models.constraints import (Constraint,
+                                                compute_odometry_constraints)
+from open3d_slam_tpu.models.mapper import Mapper
+from open3d_slam_tpu.models.odometry import LidarOdometry
+from open3d_slam_tpu.models.optimization import OptimizationProblem
+from open3d_slam_tpu.models.place_recognition import PlaceRecognition
+from open3d_slam_tpu.models.submap_collection import SubmapCollection
+from open3d_slam_tpu.ops import motion_compensation as mc_ops
+from open3d_slam_tpu.utils import pointcloud as pclib
+from open3d_slam_tpu.utils.config import SlamParameters
+from open3d_slam_tpu.utils.timeutil import TelemetryRegistry
+
+import jax.numpy as jnp
+
+
+class TimestampedPointCloud:
+    __slots__ = ("time", "cloud")
+
+    def __init__(self, time, cloud):
+        self.time = time
+        self.cloud = cloud
+
+
+class SlamWrapper:
+    def __init__(self, params: Optional[SlamParameters] = None):
+        self.params = params or SlamParameters()
+        p = self.params
+        cap = p.capacities
+        self.telemetry = TelemetryRegistry(
+            enabled=p.mapper.is_print_timing_statistics)
+
+        self.odometry = LidarOdometry(p.odometry,
+                                      processed_capacity=cap.processed_scan)
+        self.submaps = SubmapCollection(
+            p.mapper, map_capacity=cap.submap_points,
+            dense_capacity=cap.dense_submap_voxels,
+            feature_capacity=cap.feature_cloud)
+        self.mapper = Mapper(p.mapper, self.odometry.odom_buffer, self.submaps,
+                             processed_capacity=cap.processed_scan)
+        self.optimization_problem = OptimizationProblem(
+            p.mapper, max_nodes=cap.max_submaps, max_edges=cap.max_constraints)
+        self.place_recognition = PlaceRecognition(p.mapper)
+        self.submaps.place_recognition = self.place_recognition
+
+        self.odometry_buffer: CircularBuffer = CircularBuffer(
+            max(1, p.odometry.odometry_buffer_size))
+        self.mapping_buffer: CircularBuffer = CircularBuffer(
+            max(1, p.mapper.mapping_buffer_size))
+        self.loop_closure_candidates: List = []
+        self.odometry_constraints: List[Constraint] = []
+        self.last_loop_closure_constraints: List[Constraint] = []
+        self.num_latest_loop_closure_constraints = -1
+        self.is_optimized_graph_available = False
+        self.latest_scan_to_map_refinement_time: Optional[float] = None
+        self.folder_path = "."
+        self._raw_capacity = cap.raw_scan
+
+    # ------------------------------------------------------------------
+    # Ingest (SlamWrapper::addRangeScan, :102-115)
+
+    def add_range_scan(self, points: np.ndarray, timestamp: float) -> bool:
+        finite = np.isfinite(points).all(axis=1)
+        points = points[finite]
+        back = self.odometry_buffer.peek_back()
+        if back is not None and timestamp < back.time:
+            print("you are trying to add a range scan out of order! Dropping!")
+            return False
+        cloud = pclib.from_numpy(points.astype(np.float32),
+                                 capacity=self._raw_capacity)
+        self.odometry_buffer.push(TimestampedPointCloud(timestamp, cloud))
+        return True
+
+    def is_odometry_buffer_full(self) -> bool:
+        return self.odometry_buffer.full()
+
+    def is_mapping_buffer_full(self) -> bool:
+        return self.mapping_buffer.full()
+
+    # ------------------------------------------------------------------
+    # Stages
+
+    def _undistort(self, measurement: TimestampedPointCloud, which: str):
+        p = self.params.motion_compensation
+        if not p.is_undistort_input_cloud:
+            return measurement.cloud
+        buf = (self.odometry.odom_buffer if which == "odom"
+               else self.mapper.map_to_range_sensor_buffer)
+        if len(buf) <= p.num_poses_velocity_estimation:
+            return measurement.cloud
+        finish = buf.latest_measurement(0)
+        start = buf.latest_measurement(p.num_poses_velocity_estimation)
+        dt = finish.time - start.time
+        if dt <= 0:
+            return measurement.cloud
+        lin, ang = mc_ops.estimate_velocities(
+            jnp.asarray(start.transform, jnp.float32),
+            jnp.asarray(finish.transform, jnp.float32), dt)
+        return mc_ops.undistort_constant_velocity(
+            measurement.cloud, lin, ang, p.scan_duration,
+            is_spinning_clockwise=p.is_spinning_clockwise)
+
+    def _odometry_step(self) -> bool:
+        """odometryWorker body (:258-289)."""
+        measurement = self.odometry_buffer.pop()
+        if measurement is None:
+            return False
+        with self.telemetry.timer("odometry"):
+            cloud = self._undistort(measurement, "odom")
+            ok = self.odometry.add_range_scan(cloud, measurement.time)
+        if not ok:
+            print(f"WARNING: odometry failed at t={measurement.time}; "
+                  "pose not updated for this scan")
+        self.mapping_buffer.push(measurement)
+        self.telemetry.maybe_print()
+        return True
+
+    def _mapping_step(self) -> bool:
+        """mappingWorker body (:290-347)."""
+        measurement = self.mapping_buffer.pop()
+        if measurement is None:
+            return False
+        if not self.odometry.odom_buffer.has(measurement.time):
+            print("WARNING: odom buffer does not have the desired transform; "
+                  "attempting scan-to-map refinement anyway")
+        with self.telemetry.timer("mapping"):
+            cloud = self._undistort(measurement, "map")
+            self.mapper.add_range_measurement(cloud, measurement.time)
+        self.latest_scan_to_map_refinement_time = measurement.time
+        # Dense map stage (denseMapWorker, :363-386).
+        if self.params.mapper.is_build_dense_map:
+            with self.telemetry.timer("dense_map"):
+                self.submaps.insert_scan_dense_map(
+                    cloud, self.mapper.map_to_range_sensor, measurement.time)
+        # Feature computation + loop-closure candidate collection (:388-405).
+        if self.params.mapper.is_attempt_loop_closures:
+            self.compute_features_if_ready()
+            self.attempt_loop_closures_if_ready()
+        self.check_if_optimized_graph_available()
+        self.telemetry.maybe_print()
+        return True
+
+    def compute_features_if_ready(self):
+        finished = self.submaps.pop_finished_submap_ids()
+        if finished:
+            with self.telemetry.timer("submap_features"):
+                self.submaps.compute_features(finished)
+                compute_odometry_constraints(
+                    self.submaps, self.odometry_constraints, candidates=finished)
+
+    def attempt_loop_closures_if_ready(self):
+        cands = self.submaps.pop_loop_closure_candidates()
+        if cands:
+            self.loop_closure_candidates.extend(cands)
+            self._loop_closure_step()
+
+    def _loop_closure_step(self):
+        """loopClosureWorker body (:406-448)."""
+        if not self.loop_closure_candidates or self.is_optimized_graph_available:
+            return
+        cands, self.loop_closure_candidates = self.loop_closure_candidates, []
+        with self.telemetry.timer("loop_closure"):
+            constraints: List[Constraint] = []
+            for tid in cands:
+                cs = self.place_recognition.build_loop_closure_constraints(
+                    self.submaps.map_to_range_sensor, self.submaps,
+                    self.submaps.adjacency, tid.submap_id,
+                    self.submaps.active_submap_idx, tid.time)
+                constraints.extend(cs)
+            self.num_latest_loop_closure_constraints = len(constraints)
+        if not constraints:
+            return
+        with self.telemetry.timer("optimization"):
+            odom_constraints = list(self.odometry_constraints)
+            compute_odometry_constraints(self.submaps, odom_constraints)
+            self.optimization_problem.clear_odometry_constraints()
+            self.optimization_problem.insert_loop_closure_constraints(constraints)
+            self.optimization_problem.insert_odometry_constraints(odom_constraints)
+            self.optimization_problem.build_optimization_problem(self.submaps)
+            if self.params.mapper.is_dump_submaps_to_file_before_and_after_loop_closures:
+                self.dump_submaps("before")
+                self.optimization_problem.dump_to_file(
+                    os.path.join(self.folder_path, "poseGraph.json"))
+            self.optimization_problem.solve()
+            self.last_loop_closure_constraints = constraints
+            self.is_optimized_graph_available = True
+
+    def check_if_optimized_graph_available(self):
+        """(:421-432 / :349-361)."""
+        if self.is_optimized_graph_available:
+            self.is_optimized_graph_available = False
+            self.update_submaps_and_trajectory()
+            if self.params.mapper.is_dump_submaps_to_file_before_and_after_loop_closures:
+                self.dump_submaps("after")
+
+    def update_submaps_and_trajectory(self):
+        """``updateSubmapsAndTrajectory`` (:450-485)."""
+        increments = self.optimization_problem.get_optimized_transform_increments()
+        self.submaps.transform(increments)
+        if self.last_loop_closure_constraints:
+            latest = max(self.last_loop_closure_constraints,
+                         key=lambda c: (c.timestamp or 0.0))
+            assert latest.source_submap_idx > latest.target_submap_idx
+            dT = increments[latest.source_submap_idx].dT
+            self.mapper.loop_closure_update(dT)
+        # Zero out applied loop-closure constraints (:473-480).
+        for i, c in enumerate(self.optimization_problem.loop_closure_constraints):
+            c.source_to_target = np.eye(4)
+        self.submaps.update_adjacency_matrix(
+            self.optimization_problem.loop_closure_constraints)
+
+    # ------------------------------------------------------------------
+    # Driving
+
+    def process_queued(self) -> int:
+        """Run stages until all queues drain; returns #scans processed."""
+        n = 0
+        while True:
+            did_odo = self._odometry_step()
+            did_map = self._mapping_step()
+            if did_map:
+                n += 1
+            if not (did_odo or did_map):
+                break
+        return n
+
+    def process_scan(self, points: np.ndarray, timestamp: float) -> bool:
+        """Convenience: ingest + drain (sequential online mode)."""
+        if not self.add_range_scan(points, timestamp):
+            return False
+        return self.process_queued() > 0
+
+    def finish_processing(self):
+        """``finishProcessing`` (:126-166): drain, force final submap, run a
+        final feature/loop-closure/optimization round."""
+        self.process_queued()
+        print("Finishing all submaps!")
+        self.num_latest_loop_closure_constraints = -1
+        self.submaps.force_new_submap_creation()
+        if self.params.mapper.is_attempt_loop_closures:
+            self.compute_features_if_ready()
+            self.attempt_loop_closures_if_ready()
+            self.check_if_optimized_graph_available()
+        self.telemetry.maybe_print(force=True)
+        print("All submaps finished!")
+
+    # ------------------------------------------------------------------
+    # Initialization / localization mode
+
+    def set_initial_map(self, map_points: np.ndarray, timestamp: float = 0.0):
+        """``setInitialMap`` — route through the Mapper first-scan path with
+        is_use_initial_map (``SlamWrapper.cpp:209-220``, ``Mapper.cpp:105-115``)."""
+        cloud = pclib.from_numpy(
+            map_points.astype(np.float32),
+            capacity=self.params.capacities.submap_points)
+        cloud = self.mapper.scan_to_map_reg.prepare_initial_map(cloud)
+        self.mapper.add_range_measurement(cloud, timestamp)
+
+    def set_initial_transform(self, T: np.ndarray):
+        """``setInitialTransform`` (:222-225)."""
+        self.odometry.set_initial_transform(T)
+        self.mapper.set_map_to_range_sensor_initial(T)
+
+    # ------------------------------------------------------------------
+    # Saving (SlamWrapper.cpp:65-78, :242-256)
+
+    def save_map(self, folder: Optional[str] = None) -> str:
+        from open3d_slam_tpu.io import pcd
+        folder = folder or self.folder_path
+        os.makedirs(folder, exist_ok=True)
+        path = os.path.join(folder, "map.pcd")
+        data = self.mapper.get_assembled_map_point_cloud()
+        pcd.write_pcd(path, **data)
+        return path
+
+    def dump_submaps(self, prefix: str, dense: bool = False,
+                     folder: Optional[str] = None):
+        from open3d_slam_tpu.io import pcd
+        from open3d_slam_tpu.ops import dense_map as dm
+        folder = folder or self.folder_path
+        os.makedirs(folder, exist_ok=True)
+        for i, s in enumerate(self.submaps.submaps):
+            cloud = dm.to_point_cloud(s.dense_map) if dense else s.map_cloud
+            data = pclib.to_numpy(cloud)
+            pcd.write_pcd(os.path.join(folder, f"{prefix}_{i}.pcd"), **data)
+
+    def get_trajectory(self) -> Tuple[List[float], List[np.ndarray]]:
+        buf = self.mapper.map_to_range_sensor_buffer
+        return list(buf._times), [t.copy() for t in buf._transforms]
+
+    # ------------------------------------------------------------------
+    # Visualization accessors (SlamWrapperRos::publishMaps analog,
+    # SlamWrapperRos.cpp:222-244 — voxel-downsampled assembled map +
+    # per-submap colored cloud)
+
+    def get_assembled_map_for_visualization(self) -> dict:
+        from open3d_slam_tpu.ops import voxel as voxel_ops
+        data = self.mapper.get_assembled_map_point_cloud()
+        vs = self.params.visualization.assembled_map_voxel_size
+        if vs > 0 and data["points"].shape[0] > 0:
+            pc = pclib.from_numpy(data["points"])
+            down = voxel_ops.voxel_downsample(pc, vs)
+            data = pclib.to_numpy(down)
+        return data
+
+    def get_colored_submaps_for_visualization(self) -> dict:
+        from open3d_slam_tpu.utils import colors
+        return colors.assemble_colored_submap_cloud(self.submaps.submaps)
+
+    def get_dense_map_cloud(self) -> dict:
+        from open3d_slam_tpu.ops import dense_map as dm
+        parts = []
+        for s in self.submaps.submaps:
+            data = pclib.to_numpy(dm.to_point_cloud(s.dense_map))
+            if data["points"].shape[0]:
+                parts.append(data)
+        if not parts:
+            return {"points": np.zeros((0, 3), np.float32)}
+        out = {}
+        for k in parts[0]:
+            arrs = [p[k] for p in parts if k in p]
+            if len(arrs) == len(parts):
+                out[k] = np.concatenate(arrs)
+        return out

@@ -65,12 +65,18 @@ def _correspondences(grid: HashGrid, pts: jnp.ndarray, source_mask: jnp.ndarray,
     return idx, d2, w
 
 
-def _result_stats(d2: jnp.ndarray, w: jnp.ndarray, source_mask: jnp.ndarray):
+def _result_stats(d2: jnp.ndarray, w: jnp.ndarray, source_mask: jnp.ndarray,
+                  axis_name=None):
     n_src = jnp.sum(source_mask.astype(jnp.float32))
     n_in = jnp.sum(w.astype(jnp.float32))
+    d2_sum = jnp.sum(jnp.where(w, d2, 0.0))
+    if axis_name is not None:
+        # Point shards live on different devices: reduce the scalar stats.
+        n_src = jax.lax.psum(n_src, axis_name)
+        n_in = jax.lax.psum(n_in, axis_name)
+        d2_sum = jax.lax.psum(d2_sum, axis_name)
     fitness = n_in / jnp.clip(n_src, 1.0, None)
-    d2_masked = jnp.where(w, d2, 0.0)
-    rmse = jnp.sqrt(jnp.sum(d2_masked) / jnp.clip(n_in, 1.0, None))
+    rmse = jnp.sqrt(d2_sum / jnp.clip(n_in, 1.0, None))
     return fitness, rmse
 
 
@@ -127,18 +133,26 @@ def _gicp_step(pts, q, cov_s_t, cov_t, w, epsilon_reg=1e-10):
     return JtJ, Jtr
 
 
-@partial(jax.jit, static_argnames=("max_iterations", "bucket_size", "use_exp_retraction"))
+@partial(jax.jit, static_argnames=("max_iterations", "bucket_size",
+                                   "use_exp_retraction", "axis_name"))
 def icp_point_to_plane(source: PointCloud, target_grid: HashGrid, init: jnp.ndarray,
                        max_correspondence_distance,
                        max_iterations: int = 50,
                        relative_fitness: float = 1e-6,
                        relative_rmse: float = 1e-6,
                        bucket_size: int = 16,
-                       use_exp_retraction: bool = False) -> RegistrationResult:
+                       use_exp_retraction: bool = False,
+                       axis_name=None) -> RegistrationResult:
     """Point-to-plane ICP of ``source`` against a prebuilt target grid.
 
     The target grid must carry normals (``normals_sorted``) and its cell size
     must be >= max_correspondence_distance.
+
+    ``axis_name``: if set (inside shard_map/pjit), ``source`` is a POINT
+    SHARD of a larger cloud split across that mesh axis; the per-shard 6x6
+    JtJ / 6 Jtr blocks and the fitness statistics are ``psum``-reduced so
+    every device runs the identical Gauss-Newton update — the multi-chip
+    correspondence-block decomposition of the BASELINE north star.
     """
     assert target_grid.normals_sorted is not None, "target grid needs normals"
     max_dist = jnp.asarray(max_correspondence_distance, jnp.float32)
@@ -146,7 +160,7 @@ def icp_point_to_plane(source: PointCloud, target_grid: HashGrid, init: jnp.ndar
     def corr_stats(T):
         pts = se3.transform_points(T, source.points)
         idx, d2, w = _correspondences(target_grid, pts, source.mask, max_dist, bucket_size)
-        fit, rmse = _result_stats(d2, w, source.mask)
+        fit, rmse = _result_stats(d2, w, source.mask, axis_name)
         return pts, idx, w, fit, rmse
 
     pts0, idx0, w0, fit0, rmse0 = corr_stats(init)
@@ -161,6 +175,9 @@ def icp_point_to_plane(source: PointCloud, target_grid: HashGrid, init: jnp.ndar
         q = target_grid.points_sorted[idx]
         n = target_grid.normals_sorted[idx]
         JtJ, Jtr = _p2l_step(pts, n, q, w)
+        if axis_name is not None:
+            JtJ = jax.lax.psum(JtJ, axis_name)
+            Jtr = jax.lax.psum(Jtr, axis_name)
         delta = _solve6(JtJ, Jtr)
         if use_exp_retraction:
             dT = se3.se3_exp(jnp.concatenate([delta[:3], delta[3:]]))

@@ -1,0 +1,110 @@
+"""Multi-start batched localization (BASELINE config 4).
+
+The reference's localization mode needs a user-provided initial pose
+(``SlamMapInitializer.cpp:51-78``, interactive rviz marker).  On TPU we can
+instead sweep ~1024 pose hypotheses in one batched ICP program: stratified
+(x, y, yaw) seeds over the map extent -> short coarse ICP on a subsampled
+scan -> fitness ranking -> full ICP refinement of the best candidates.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from open3d_slam_tpu.ops import hashgrid, normals as normals_ops, registration as reg_ops, voxel
+from open3d_slam_tpu.utils import pointcloud as pclib, se3
+from open3d_slam_tpu.utils.config import SlamParameters
+from open3d_slam_tpu.utils.pointcloud import PointCloud
+
+
+def make_pose_hypotheses(map_points: np.ndarray, map_mask: np.ndarray,
+                         num_hypotheses: int, z: float = 0.0) -> np.ndarray:
+    """Stratified (x, y, yaw) grid over the map's bounding box -> (H, 4, 4)."""
+    pts = map_points[map_mask]
+    lo = pts.min(axis=0)
+    hi = pts.max(axis=0)
+    n_yaw = 8
+    n_xy = max(1, int(np.sqrt(num_hypotheses / n_yaw)))
+    xs = np.linspace(lo[0], hi[0], n_xy)
+    ys = np.linspace(lo[1], hi[1], n_xy)
+    yaws = np.linspace(0, 2 * np.pi, n_yaw, endpoint=False)
+    T = []
+    for x in xs:
+        for y in ys:
+            for yaw in yaws:
+                c, s = np.cos(yaw), np.sin(yaw)
+                M = np.eye(4, dtype=np.float32)
+                M[:3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+                M[:3, 3] = [x, y, z]
+                T.append(M)
+    T = np.stack(T)
+    # Pad/trim to num_hypotheses.
+    if len(T) < num_hypotheses:
+        reps = int(np.ceil(num_hypotheses / len(T)))
+        T = np.tile(T, (reps, 1, 1))
+    return T[:num_hypotheses]
+
+
+@partial(jax.jit, static_argnames=("coarse_iters", "refine_iters", "top_k"))
+def _batched_localize(scan_small: PointCloud, scan_full: PointCloud,
+                      coarse_grid: hashgrid.HashGrid,
+                      grid: hashgrid.HashGrid, inits: jnp.ndarray,
+                      coarse_corr_dist, max_corr_dist,
+                      coarse_iters: int = 10, refine_iters: int = 30,
+                      top_k: int = 8):
+    """Coarse wide-correspondence sweep on the subsampled scan, then refine
+    the top_k on the full scan at the configured correspondence distance.
+
+    The coarse stage's correspondence distance must be ~half the hypothesis
+    grid spacing so every seed has a basin to fall into.
+    """
+    coarse = jax.vmap(lambda T0: reg_ops.icp_point_to_plane(
+        scan_small, coarse_grid, T0, coarse_corr_dist,
+        max_iterations=coarse_iters, bucket_size=8))(inits)
+    # Wide-distance fitness saturates (everything snaps to the dominant
+    # plane); rank candidates by TIGHT-distance fitness at the coarse result.
+    tight = jax.vmap(lambda T0: reg_ops.evaluate_registration(
+        scan_small, grid, T0, max_corr_dist))(coarse.transformation)
+    score = tight.fitness - tight.inlier_rmse
+    _, best_idx = jax.lax.top_k(score, top_k)
+    best_inits = coarse.transformation[best_idx]
+    refined = jax.vmap(lambda T0: reg_ops.icp_point_to_plane(
+        scan_full, grid, T0, max_corr_dist, max_iterations=refine_iters))(best_inits)
+    score_r = refined.fitness - refined.inlier_rmse
+    win = jnp.argmax(score_r)
+    return refined.transformation[win], refined.fitness[win]
+
+
+def global_localize(scan: PointCloud, map_cloud: PointCloud,
+                    params: SlamParameters,
+                    num_hypotheses: int = 1024,
+                    coarse_scan_points: int = 512) -> Tuple[np.ndarray, float]:
+    """Localize ``scan`` in ``map_cloud`` with no initial pose."""
+    sp = params.mapper.scan_processing
+    icp = params.mapper.scan_matcher.icp
+    scan_v = voxel.voxel_downsample(scan, max(sp.voxel_size, 1e-3))
+    scan_small = voxel.random_downsample(scan_v, coarse_scan_points,
+                                         jax.random.PRNGKey(11))
+    m = map_cloud
+    if m.normals is None:
+        m = normals_ops.estimate_normals(m, radius=icp.max_distance_knn,
+                                         max_nn=icp.knn)
+    grid = hashgrid.build(m, cell_size=icp.max_correspondence_distance)
+    mask_np = np.asarray(m.mask)
+    pts_np = np.asarray(m.points)[mask_np]
+    inits = make_pose_hypotheses(np.asarray(m.points), mask_np, num_hypotheses,
+                                 z=float(pts_np[:, 2].mean() + 1.0))
+    # Coarse basin: ~half the (x, y) seed spacing.
+    extent = float(max(np.ptp(pts_np[:, 0]), np.ptp(pts_np[:, 1])))
+    n_xy = max(1, int(np.sqrt(num_hypotheses / 8)))
+    spacing = extent / max(n_xy - 1, 1)
+    coarse_corr = max(icp.max_correspondence_distance, 0.75 * spacing)
+    coarse_grid = hashgrid.build(m, cell_size=coarse_corr)
+    T, fitness = _batched_localize(
+        scan_small, scan_v, coarse_grid, grid, jnp.asarray(inits),
+        coarse_corr, icp.max_correspondence_distance)
+    return np.asarray(T, np.float64), float(fitness)

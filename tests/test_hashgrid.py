@@ -18,11 +18,14 @@ def test_query_nearest_matches_kdtree(rng):
     dist_ref, idx_ref = tree.query(query, k=1, distance_upper_bound=radius)
     found_ref = np.isfinite(dist_ref)
     np.testing.assert_array_equal(found, found_ref)
-    # Compare the actual nearest points (indices go through the sort permutation).
+    # Distances must match the KD-tree within float tolerance (the MXU
+    # brute-force path may swap exactly-tied neighbors, so compare distances,
+    # not indices).
+    np.testing.assert_allclose(np.sqrt(d2[found]), dist_ref[found_ref], atol=1e-3)
     got_pts = np.asarray(grid.points_sorted)[idx[found]]
     ref_pts = target[idx_ref[found_ref]]
-    np.testing.assert_allclose(got_pts, ref_pts, atol=1e-6)
-    np.testing.assert_allclose(np.sqrt(d2[found]), dist_ref[found_ref], atol=1e-5)
+    d_each = np.linalg.norm(got_pts - query[found], axis=1)
+    np.testing.assert_allclose(d_each, dist_ref[found_ref], atol=1e-3)
 
 
 def test_query_nearest_respects_mask(rng):

@@ -1,0 +1,114 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from open3d_slam_tpu.ops import hashgrid, normals as normals_ops
+from open3d_slam_tpu.parallel import mesh as mesh_lib, multi_start, sharded_icp
+from open3d_slam_tpu.utils import pointcloud as pclib
+from open3d_slam_tpu.utils.pointcloud import PointCloud
+
+import reference_icp as ref
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def _make_batch(rng, B, n_src=256, n_tgt=1024):
+    srcs, tgts = [], []
+    for b in range(B):
+        t = ref.make_surface_scan(np.random.default_rng(b), n=n_tgt, extent=8.0)
+        s = t[rng.choice(n_tgt, n_src, replace=False)] + np.array(
+            [0.1, -0.05, 0.02], np.float32)
+        srcs.append(s)
+        tgts.append(t[:n_tgt])
+    src_pc = PointCloud(points=jnp.asarray(np.stack(srcs)),
+                        mask=jnp.ones((B, n_src), bool))
+    tgt_pc = PointCloud(points=jnp.asarray(np.stack(tgts)),
+                        mask=jnp.ones((B, n_tgt), bool))
+    tgt_pc = jax.vmap(lambda p: normals_ops.estimate_normals(p, 1.0, max_nn=10))(tgt_pc)
+    grids = jax.vmap(lambda p: hashgrid.build(p, 0.8))(tgt_pc)
+    return src_pc, grids
+
+
+def test_data_sharded_batched_icp(rng):
+    mesh = mesh_lib.make_mesh((8, 1))
+    B = 16
+    src_pc, grids = _make_batch(rng, B)
+    inits = jnp.tile(jnp.eye(4), (B, 1, 1))
+    sh = mesh_lib.data_sharding(mesh)
+    src_pc = jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), src_pc)
+    grids = jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), grids)
+    inits = jax.device_put(inits, sh)
+    run = jax.jit(lambda s, g, T0: sharded_icp.batched_icp_p2l(
+        s, g, T0, 0.8, max_iterations=10))
+    with jax.set_mesh(mesh):
+        res = run(src_pc, grids, inits)
+    fits = np.asarray(res.fitness)
+    assert fits.shape == (B,)
+    assert (fits > 0.9).all(), fits
+    # Recovered transforms ~= the known inverse offset.
+    T = np.asarray(res.transformation)
+    np.testing.assert_allclose(T[:, :3, 3], np.tile([-0.1, 0.05, -0.02], (B, 1)),
+                               atol=0.05)
+
+
+def test_block_sharded_icp_matches_single(rng):
+    """psum-sharded GN over the block axis must agree with single-device ICP."""
+    mesh = mesh_lib.make_mesh((2, 4))
+    t = ref.make_surface_scan(rng, n=2048, extent=8.0)
+    nrm = ref.plane_normals(t)
+    s = t[rng.choice(2048, 512, replace=False)] + np.array([0.15, -0.1, 0.05], np.float32)
+    tgt = pclib.from_numpy(t, normals=nrm)
+    grid = hashgrid.build(tgt, cell_size=0.8)
+    scan = pclib.from_numpy(s, capacity=512)
+
+    from open3d_slam_tpu.ops import registration as reg_ops
+    res_single = reg_ops.icp_point_to_plane(scan, grid, jnp.eye(4), 0.8,
+                                            max_iterations=10)
+
+    block_icp = sharded_icp.make_block_sharded_icp(mesh, 0.8, max_iterations=10)
+    shards = sharded_icp.split_points_for_blocks(scan, 4)
+    with jax.set_mesh(mesh):
+        res_block = block_icp(shards, grid, jnp.eye(4))
+
+    np.testing.assert_allclose(np.asarray(res_block.transformation),
+                               np.asarray(res_single.transformation), atol=1e-4)
+    assert abs(float(res_block.fitness) - float(res_single.fitness)) < 1e-4
+
+
+@pytest.mark.slow
+def test_multi_start_localization(rng):
+    """Global localization without an initial pose (BASELINE config 4)."""
+    # Structured scene (ground + walls + boxes) for disambiguation.
+    import test_fpfh_ransac as tfr
+    world_pts = tfr.make_scene(rng, n=6000)
+    map_pc = pclib.from_numpy(world_pts)
+
+    # True sensor pose somewhere in the map.
+    from scipy.spatial.transform import Rotation
+    T_true = np.eye(4)
+    T_true[:3, :3] = Rotation.from_euler("z", 0.8).as_matrix()
+    T_true[:3, 3] = [3.0, -2.0, 1.0]
+    # Scan = world points near the pose, in sensor frame.
+    d = np.linalg.norm(world_pts - T_true[:3, 3], axis=1)
+    vis = world_pts[d < 12.0]
+    scan_pts = ((vis - T_true[:3, 3]) @ T_true[:3, :3]).astype(np.float32)
+    scan = pclib.from_numpy(scan_pts)
+
+    from open3d_slam_tpu.utils import config as cfg
+    params = cfg.SlamParameters()
+    params.mapper.scan_matcher.icp.max_correspondence_distance = 1.0
+    params.mapper.scan_processing.voxel_size = 0.4
+
+    T_est, fitness = multi_start.global_localize(
+        scan, map_pc, params, num_hypotheses=256)
+    assert fitness > 0.6, fitness
+    t_err = np.linalg.norm(T_est[:3, 3] - T_true[:3, 3])
+    rot_err = np.degrees(np.arccos(np.clip(
+        (np.trace(T_est[:3, :3].T @ T_true[:3, :3]) - 1) / 2, -1, 1)))
+    assert t_err < 0.5, f"t_err {t_err}"
+    assert rot_err < 5.0, f"rot_err {rot_err}"
