@@ -29,7 +29,12 @@ PER_CHIP_TARGET = 5000.0 / 16.0  # BASELINE: 5000 reg/s on v5e-16
 
 
 def _block(x):
+    """Hard sync: device->host transfer of one leaf.  On the axon backend
+    block_until_ready can return at enqueue time; a transfer cannot."""
+    leaves = jax.tree_util.tree_leaves(x)
     jax.tree_util.tree_map(lambda a: a.block_until_ready(), x)
+    if leaves:
+        np.asarray(leaves[0])
 
 
 def bench_batched_icp(batch=128, n_src=1024, n_tgt=2048, iters=15, repeats=3,

@@ -69,7 +69,7 @@ def run_sequence(slam: SlamWrapper, seq: datasets.SyntheticSequence,
         # Backpressure (RosbagRangeDataProcessorRos.cpp:69-84): the pipeline
         # is sequential here, so "buffers full" cannot happen, but the hook
         # stays for the async driver.
-        while slam.is_odometry_buffer_full() and slam.is_mapping_buffer_full():
+        while slam.is_odometry_buffer_full() or slam.is_mapping_buffer_full():
             slam.process_queued()
         slam.process_scan(points, ts)
         n_processed += 1

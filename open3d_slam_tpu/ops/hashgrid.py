@@ -98,7 +98,8 @@ def query_nearest(grid: HashGrid, query_points: jnp.ndarray, max_dist,
     n = grid.capacity
     if method == "auto":
         if jax.default_backend() == "tpu":
-            # Pallas flash-NN when shapes tile cleanly, else XLA brute force.
+            # Pallas flash-NN (validated exact on hardware, ~1.5x the XLA
+            # brute force) when shapes tile; XLA brute-force otherwise.
             bm = min(256, m)
             bn = min(2048, n)
             method = ("pallas" if (m % bm == 0 and n % bn == 0 and m >= 8)

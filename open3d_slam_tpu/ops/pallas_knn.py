@@ -33,7 +33,10 @@ def _nn_kernel(q_ref, q2_ref, t_ref, t2_ref, idx_ref, d2_ref):
 
     q = q_ref[:, :]                    # (BM, 3)
     t = t_ref[:, :]                    # (3, C)
-    dots = jnp.dot(q, t, preferred_element_type=jnp.float32)   # (BM, C) MXU
+    # HIGHEST: default bf16 MXU passes give meter-scale dot errors on
+    # |coords|~30 scenes, corrupting the argmin.
+    dots = jnp.dot(q, t, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)        # (BM, C) MXU
     d2 = q2_ref[:, :] + t2_ref[:, :] - 2.0 * dots              # (BM, C)
 
     tile_min = jnp.min(d2, axis=1, keepdims=True)              # (BM, 1)

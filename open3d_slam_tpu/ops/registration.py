@@ -59,8 +59,10 @@ def _euler_xyz_transform(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _correspondences(grid: HashGrid, pts: jnp.ndarray, source_mask: jnp.ndarray,
-                     max_dist, bucket_size: int):
-    idx, d2, found = hashgrid.query_nearest(grid, pts, max_dist, bucket_size=bucket_size)
+                     max_dist, bucket_size: int, nn_method: str = "auto"):
+    idx, d2, found = hashgrid.query_nearest(grid, pts, max_dist,
+                                            bucket_size=bucket_size,
+                                            method=nn_method)
     w = found & source_mask
     return idx, d2, w
 
@@ -134,7 +136,8 @@ def _gicp_step(pts, q, cov_s_t, cov_t, w, epsilon_reg=1e-10):
 
 
 @partial(jax.jit, static_argnames=("max_iterations", "bucket_size",
-                                   "use_exp_retraction", "axis_name"))
+                                   "use_exp_retraction", "axis_name",
+                                   "nn_method"))
 def icp_point_to_plane(source: PointCloud, target_grid: HashGrid, init: jnp.ndarray,
                        max_correspondence_distance,
                        max_iterations: int = 50,
@@ -142,7 +145,8 @@ def icp_point_to_plane(source: PointCloud, target_grid: HashGrid, init: jnp.ndar
                        relative_rmse: float = 1e-6,
                        bucket_size: int = 16,
                        use_exp_retraction: bool = False,
-                       axis_name=None) -> RegistrationResult:
+                       axis_name=None,
+                       nn_method: str = "auto") -> RegistrationResult:
     """Point-to-plane ICP of ``source`` against a prebuilt target grid.
 
     The target grid must carry normals (``normals_sorted``) and its cell size
@@ -159,7 +163,8 @@ def icp_point_to_plane(source: PointCloud, target_grid: HashGrid, init: jnp.ndar
 
     def corr_stats(T):
         pts = se3.transform_points(T, source.points)
-        idx, d2, w = _correspondences(target_grid, pts, source.mask, max_dist, bucket_size)
+        idx, d2, w = _correspondences(target_grid, pts, source.mask, max_dist,
+                                      bucket_size, nn_method)
         fit, rmse = _result_stats(d2, w, source.mask, axis_name)
         return pts, idx, w, fit, rmse
 
@@ -194,19 +199,21 @@ def icp_point_to_plane(source: PointCloud, target_grid: HashGrid, init: jnp.ndar
                               num_iterations=it)
 
 
-@partial(jax.jit, static_argnames=("max_iterations", "bucket_size"))
+@partial(jax.jit, static_argnames=("max_iterations", "bucket_size", "nn_method"))
 def icp_point_to_point(source: PointCloud, target_grid: HashGrid, init: jnp.ndarray,
                        max_correspondence_distance,
                        max_iterations: int = 30,
                        relative_fitness: float = 1e-6,
                        relative_rmse: float = 1e-6,
-                       bucket_size: int = 16) -> RegistrationResult:
+                       bucket_size: int = 16,
+                       nn_method: str = "auto") -> RegistrationResult:
     """Point-to-point ICP (Umeyama closed-form per iteration, like Open3D)."""
     max_dist = jnp.asarray(max_correspondence_distance, jnp.float32)
 
     def corr_stats(T):
         pts = se3.transform_points(T, source.points)
-        idx, d2, w = _correspondences(target_grid, pts, source.mask, max_dist, bucket_size)
+        idx, d2, w = _correspondences(target_grid, pts, source.mask, max_dist,
+                                      bucket_size, nn_method)
         fit, rmse = _result_stats(d2, w, source.mask)
         return pts, idx, w, fit, rmse
 
@@ -232,7 +239,7 @@ def icp_point_to_point(source: PointCloud, target_grid: HashGrid, init: jnp.ndar
                               num_iterations=it)
 
 
-@partial(jax.jit, static_argnames=("max_iterations", "bucket_size"))
+@partial(jax.jit, static_argnames=("max_iterations", "bucket_size", "nn_method"))
 def icp_generalized(source: PointCloud, source_covs: jnp.ndarray,
                     target_grid: HashGrid, target_covs_sorted: jnp.ndarray,
                     init: jnp.ndarray,
@@ -240,7 +247,8 @@ def icp_generalized(source: PointCloud, source_covs: jnp.ndarray,
                     max_iterations: int = 50,
                     relative_fitness: float = 1e-6,
                     relative_rmse: float = 1e-6,
-                    bucket_size: int = 16) -> RegistrationResult:
+                    bucket_size: int = 16,
+                    nn_method: str = "auto") -> RegistrationResult:
     """Generalized (plane-to-plane) ICP, as ``RegistrationGeneralizedICP``
     (``CloudRegistration.cpp:16-30``).  ``target_covs_sorted`` must be in the
     grid's sorted order."""
@@ -248,7 +256,8 @@ def icp_generalized(source: PointCloud, source_covs: jnp.ndarray,
 
     def corr_stats(T):
         pts = se3.transform_points(T, source.points)
-        idx, d2, w = _correspondences(target_grid, pts, source.mask, max_dist, bucket_size)
+        idx, d2, w = _correspondences(target_grid, pts, source.mask, max_dist,
+                                      bucket_size, nn_method)
         fit, rmse = _result_stats(d2, w, source.mask)
         return pts, idx, w, fit, rmse
 
@@ -281,12 +290,13 @@ def icp_generalized(source: PointCloud, source_covs: jnp.ndarray,
 
 def evaluate_registration(source: PointCloud, target_grid: HashGrid,
                           T: jnp.ndarray, max_correspondence_distance,
-                          bucket_size: int = 16) -> RegistrationResult:
+                          bucket_size: int = 16,
+                          nn_method: str = "auto") -> RegistrationResult:
     """Fitness/RMSE of a fixed transform (Open3D ``EvaluateRegistration``)."""
     pts = se3.transform_points(T, source.points)
     idx, d2, w = _correspondences(target_grid, pts, source.mask,
                                   jnp.asarray(max_correspondence_distance, jnp.float32),
-                                  bucket_size)
+                                  bucket_size, nn_method)
     fit, rmse = _result_stats(d2, w, source.mask)
     return RegistrationResult(transformation=T, fitness=fit, inlier_rmse=rmse,
                               num_iterations=jnp.int32(0))

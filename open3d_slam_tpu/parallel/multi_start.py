@@ -62,18 +62,20 @@ def _batched_localize(scan_small: PointCloud, scan_full: PointCloud,
     The coarse stage's correspondence distance must be ~half the hypothesis
     grid spacing so every seed has a basin to fall into.
     """
+    nn = "bruteforce" if jax.default_backend() == "tpu" else "probe"
     coarse = jax.vmap(lambda T0: reg_ops.icp_point_to_plane(
         scan_small, coarse_grid, T0, coarse_corr_dist,
-        max_iterations=coarse_iters, bucket_size=8))(inits)
+        max_iterations=coarse_iters, bucket_size=8, nn_method=nn))(inits)
     # Wide-distance fitness saturates (everything snaps to the dominant
     # plane); rank candidates by TIGHT-distance fitness at the coarse result.
     tight = jax.vmap(lambda T0: reg_ops.evaluate_registration(
-        scan_small, grid, T0, max_corr_dist))(coarse.transformation)
+        scan_small, grid, T0, max_corr_dist, nn_method=nn))(coarse.transformation)
     score = tight.fitness - tight.inlier_rmse
     _, best_idx = jax.lax.top_k(score, top_k)
     best_inits = coarse.transformation[best_idx]
     refined = jax.vmap(lambda T0: reg_ops.icp_point_to_plane(
-        scan_full, grid, T0, max_corr_dist, max_iterations=refine_iters))(best_inits)
+        scan_full, grid, T0, max_corr_dist, max_iterations=refine_iters,
+        nn_method=nn))(best_inits)
     score_r = refined.fitness - refined.inlier_rmse
     win = jnp.argmax(score_r)
     return refined.transformation[win], refined.fitness[win]

@@ -35,9 +35,12 @@ def batched_icp_p2l(sources: PointCloud, grids: HashGrid, inits: jnp.ndarray,
     them over the mesh 'data' axis (parallel.mesh.shard_batch) and jit does
     the rest — each device runs its share of registrations.
     """
+    # nn_method: vmapping the Pallas NN kernel compiles pathologically on
+    # the axon backend; the XLA brute-force scan batches cleanly.
     fn = lambda s, g, T0: reg_ops.icp_point_to_plane(
         s, g, T0, max_correspondence_distance,
-        max_iterations=max_iterations, bucket_size=bucket_size)
+        max_iterations=max_iterations, bucket_size=bucket_size,
+        nn_method="bruteforce" if jax.default_backend() == "tpu" else "probe")
     return jax.vmap(fn)(sources, grids, inits)
 
 

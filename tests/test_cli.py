@@ -1,0 +1,83 @@
+"""CLI end-to-end: mapping + localization entry points (small, CPU)."""
+import os
+import numpy as np
+import pytest
+
+from open3d_slam_tpu.cli import localization, mapping
+from open3d_slam_tpu.io import datasets, pcd
+
+
+@pytest.fixture(scope="module")
+def seq_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("seq")
+    seq = datasets.make_synthetic_sequence(
+        n_scans=10, trajectory="straight", step=0.4, n_points=4000,
+        max_range=22.0,
+        world_cfg=datasets.SyntheticWorldConfig(
+            extent=22.0, n_ground=30000, n_walls=20000, n_pillars=10000))
+    datasets.save_sequence(seq, str(d))
+    return str(d)
+
+
+def small_param_file(tmp_path):
+    p = tmp_path / "small.yaml"
+    p.write_text("""
+capacities:
+  raw_scan: 8192
+  processed_scan: 4096
+  submap_points: 32768
+  dense_submap_voxels: 16384
+  feature_cloud: 1024
+odometry:
+  scan_processing: {voxel_size: 0.4}
+  scan_matcher:
+    icp: {max_correspondence_distance: 1.0, max_num_iter: 12, knn: 10, max_distance_knn: 1.2}
+mapper:
+  scan_processing: {voxel_size: 0.4}
+  scan_matcher:
+    icp: {max_correspondence_distance: 1.0, max_num_iter: 12, knn: 10, max_distance_knn: 1.2}
+  map_builder: {map_voxel_size: 0.4}
+  is_build_dense_map: false
+  is_attempt_loop_closures: false
+""")
+    return str(p)
+
+
+def test_mapping_cli_end_to_end(seq_dir, tmp_path, capsys):
+    rc = mapping.main([
+        "--sequence", seq_dir, "--param", small_param_file(tmp_path),
+        "--save-folder", str(tmp_path / "out"), "--save-map",
+        "--no-skip-first"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "ATE vs ground truth" in out
+    assert "realtime" in out
+    map_path = tmp_path / "out" / "map.pcd"
+    assert map_path.exists()
+    data = pcd.read_pcd(str(map_path))
+    assert data["points"].shape[0] > 500
+    # ATE printed must be small
+    import re
+    m = re.search(r"ATE vs ground truth: mean ([0-9.]+) m", out)
+    assert m and float(m.group(1)) < 0.2
+
+
+def test_mapping_cli_requires_input(capsys):
+    assert mapping.main([]) == 2
+
+
+def test_localization_cli(seq_dir, tmp_path, capsys):
+    # Build a map first.
+    param = small_param_file(tmp_path)
+    rc = mapping.main(["--sequence", seq_dir, "--param", param,
+                       "--save-folder", str(tmp_path / "m"), "--save-map",
+                       "--no-skip-first"])
+    assert rc == 0
+    rc = localization.main([
+        "--map", str(tmp_path / "m" / "map.pcd"),
+        "--sequence", seq_dir, "--param", param,
+        "--initial-pose", "0", "0", "1.5", "0", "0", "0"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "loaded map" in out
+    assert "pose xyz" in out
