@@ -132,7 +132,9 @@ class Submap:
                 float(self.dense_map.voxel_size), cv.neighborhood_radius_dense_map,
                 cv.truncation_distance, cv.max_raytracing_length,
                 max_steps=max_steps)
-            self.dense_map = dense_map.remove_keys(self.dense_map, keys)
+            self.dense_map = dense_map.remove_keys(
+                self.dense_map, keys,
+                neighbor_deltas=carving.FACE_NEIGHBOR_DELTAS)
         self.n_scans_inserted_dense += 1
         return True
 

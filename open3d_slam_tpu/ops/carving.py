@@ -33,6 +33,9 @@ from open3d_slam_tpu.utils.pointcloud import PointCloud
 INT32_MAX = jnp.iinfo(jnp.int32).max
 
 
+_HASH_PRIMES = (73856093, 19349669, 83492791)  # keep in sync with voxel.hash_coords
+
+
 def _ray_visit_keys(scan_points: jnp.ndarray, scan_mask: jnp.ndarray,
                     sensor_position: jnp.ndarray, step_size,
                     truncation_distance, max_ray_length,
@@ -40,17 +43,25 @@ def _ray_visit_keys(scan_points: jnp.ndarray, scan_mask: jnp.ndarray,
     """Sorted voxel-hash keys of all voxels visited by the scan's rays.
 
     Invalid samples get INT32_MAX (sorted to the tail).  Shape (N * S,).
+
+    Everything is computed per-axis in rank-2 (N, S) tensors: a fused
+    (N, S, 3) position tensor looks harmless but TPU tiled layouts pad the
+    trailing 3 up to a full 128-lane tile, inflating HBM use ~40x (observed
+    as a 21 GB allocation on a 16 GB v5e with the raw-scan capacity).
     """
     step_size = jnp.asarray(step_size, jnp.float32)
     d = scan_points - sensor_position[None, :]
-    length = jnp.linalg.norm(d, axis=-1, keepdims=True)
-    direction = d / jnp.clip(length, 1e-9, None)
+    length = jnp.linalg.norm(d, axis=-1)                    # (N,)
+    direction = d / jnp.clip(length[:, None], 1e-9, None)   # (N, 3)
     max_path = jnp.maximum(step_size,
                            jnp.minimum(length - truncation_distance, max_ray_length))
-    steps = jnp.arange(max_steps, dtype=jnp.float32)[None, :, None] * step_size  # (1,S,1)
-    pos = sensor_position[None, None, :] + direction[:, None, :] * steps          # (N,S,3)
-    valid = (steps[..., 0] < max_path) & scan_mask[:, None]                       # (N,S)
-    keys = hash_coords(voxel_coords(pos, key_voxel_size))
+    steps = jnp.arange(max_steps, dtype=jnp.float32)[None, :] * step_size  # (1, S)
+    inv = 1.0 / jnp.asarray(key_voxel_size, jnp.float32)
+    keys = jnp.zeros((scan_points.shape[0], max_steps), jnp.int32)
+    for a, p in enumerate(_HASH_PRIMES):
+        pos_a = sensor_position[a] + direction[:, a:a + 1] * steps         # (N, S)
+        keys = keys + jnp.floor(pos_a * inv).astype(jnp.int32) * jnp.int32(p)
+    valid = (steps < max_path[:, None]) & scan_mask[:, None]               # (N, S)
     keys = jnp.where(valid, keys, INT32_MAX)
     return jnp.sort(keys.reshape(-1))
 
@@ -90,30 +101,35 @@ def carve_mask(map_pc: PointCloud, scan_pc: PointCloud,
     return map_pc.mask & ~remove
 
 
+# Face-neighborhood hash deltas: hash_coords is linear in the coords, so
+# hash(c + o) == hash(c) + hash(o) under int32 wrapping.  The offset set
+# {0, +-e1, +-e2, +-e3} is symmetric under negation, so "sample visits any
+# neighbor of voxel v" == "v + offset is a visited sample voxel" — the
+# neighborhood test can run on the (much smaller) map side.
+FACE_NEIGHBOR_DELTAS = jnp.array(
+    [0, 73856093, -73856093, 19349669, -19349669, 83492791, -83492791],
+    jnp.int32)
+
+
 @partial(jax.jit, static_argnames=("max_steps",))
 def carved_voxel_keys(scan_pc: PointCloud, sensor_position: jnp.ndarray,
                       dense_voxel_size, neighborhood_radius,
                       truncation_distance, max_ray_length,
                       max_steps: int = 128) -> jnp.ndarray:
-    """Sorted hash keys of dense-map voxels to flush (``helpers.cpp:347-377``).
+    """Sorted hash keys of ray-visited dense-map voxel samples
+    (``helpers.cpp:347-377``).
 
-    Step size = 2 * neighborhood radius; each sample flushes the voxels whose
-    centers lie within the neighborhood radius (approximated by the sample's
-    own voxel + 27-neighborhood when radius >= voxel size).
+    Step size = 2 * neighborhood radius.  Each sample flushes the voxels
+    whose centers lie within the neighborhood radius; the center-voxel +
+    face-neighborhood expansion (covers radius <= voxel) is applied by the
+    CONSUMER on the map side (see ``dense_map.remove_keys`` with
+    ``FACE_NEIGHBOR_DELTAS``) — emitting 7 keys per sample here would build
+    an (N, S, 7) tensor 7x the size for the identical removal set.
     """
     step = 2.0 * jnp.asarray(neighborhood_radius, jnp.float32)
-    d = scan_pc.points - sensor_position[None, :]
-    length = jnp.linalg.norm(d, axis=-1, keepdims=True)
-    direction = d / jnp.clip(length, 1e-9, None)
-    max_path = jnp.maximum(step, jnp.minimum(length - truncation_distance, max_ray_length))
-    steps = jnp.arange(max_steps, dtype=jnp.float32)[None, :, None] * step
-    pos = sensor_position[None, None, :] + direction[:, None, :] * steps
-    valid = (steps[..., 0] < max_path) & scan_pc.mask[:, None]
-    coords = voxel_coords(pos, dense_voxel_size)                 # (N,S,3)
-    # Neighborhood: center voxel plus face neighbors covers radius <= voxel.
-    offsets = jnp.array([[0, 0, 0], [1, 0, 0], [-1, 0, 0],
-                         [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]], jnp.int32)
-    coords_n = coords[:, :, None, :] + offsets[None, None, :, :]  # (N,S,7,3)
-    keys = hash_coords(coords_n)
-    keys = jnp.where(valid[:, :, None], keys, INT32_MAX)
-    return jnp.sort(keys.reshape(-1))
+    return _ray_visit_keys(scan_pc.points, scan_pc.mask, sensor_position,
+                           step_size=step,
+                           truncation_distance=truncation_distance,
+                           max_ray_length=max_ray_length,
+                           key_voxel_size=dense_voxel_size,
+                           max_steps=max_steps)

@@ -117,11 +117,24 @@ def insert(vm: VoxelizedPointCloud, pc: PointCloud) -> VoxelizedPointCloud:
 
 
 @jax.jit
-def remove_keys(vm: VoxelizedPointCloud, keys_to_remove_sorted: jnp.ndarray) -> VoxelizedPointCloud:
-    """Flush voxels whose key is in the given sorted key array (carving)."""
-    pos = jnp.searchsorted(keys_to_remove_sorted, vm.keys, side="left")
+def remove_keys(vm: VoxelizedPointCloud, keys_to_remove_sorted: jnp.ndarray,
+                neighbor_deltas: jnp.ndarray | None = None) -> VoxelizedPointCloud:
+    """Flush voxels whose key is in the given sorted key array (carving).
+
+    ``neighbor_deltas`` (optional, (K,) int32 hash deltas — e.g.
+    ``carving.FACE_NEIGHBOR_DELTAS``): also flush a voxel when any of its
+    delta-shifted keys is in the set.  Because hash_coords is linear and the
+    face-offset set is negation-symmetric, this equals expanding each
+    visited sample by the same neighborhood on the producer side, at map
+    capacity x K lookups instead of rays x steps x K keys.
+    """
+    if neighbor_deltas is None:
+        probe = vm.keys[:, None]                               # (C, 1)
+    else:
+        probe = vm.keys[:, None] + neighbor_deltas[None, :]    # (C, K)
+    pos = jnp.searchsorted(keys_to_remove_sorted, probe, side="left")
     pos = jnp.clip(pos, 0, keys_to_remove_sorted.shape[0] - 1)
-    hit = (keys_to_remove_sorted[pos] == vm.keys) & (vm.keys != INT32_MAX)
+    hit = jnp.any(keys_to_remove_sorted[pos] == probe, axis=-1) & (vm.keys != INT32_MAX)
     # Mark removed slots empty; keep arrays sorted by pushing keys to INT32_MAX
     # and re-sorting (stable w.r.t. remaining keys).
     keys = jnp.where(hit, INT32_MAX, vm.keys)
