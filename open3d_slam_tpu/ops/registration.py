@@ -29,7 +29,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from open3d_slam_tpu.ops import hashgrid
+from open3d_slam_tpu.ops import hashgrid, pallas_icp
 from open3d_slam_tpu.ops.hashgrid import HashGrid
 from open3d_slam_tpu.utils import se3
 from open3d_slam_tpu.utils.pointcloud import PointCloud
@@ -135,6 +135,108 @@ def _gicp_step(pts, q, cov_s_t, cov_t, w, epsilon_reg=1e-10):
     return JtJ, Jtr
 
 
+def _fused_blocks(m: int, n: int):
+    bm = pallas_icp._pick_block(m, (256, 128, 64, 32, 16, 8))
+    bn = pallas_icp._pick_block(n, (2048, 1024, 512, 256, 128))
+    return bm, bn
+
+
+def _icp_p2l_fused_batch(points, maskf, n_src, t_t, tn_t, tc, tv,
+                         inits, max_dist, max_iterations,
+                         relative_fitness, relative_rmse,
+                         use_exp_retraction, axis_name,
+                         block_m, block_n, interpret=False):
+    """Batched p2l GN loop around the fused Pallas kernel.
+
+    One kernel call per iteration computes correspondences + the 6x6 normal
+    equations + fitness stats for the WHOLE batch; convergence is tracked
+    per batch element (converged elements freeze their pose, the kernel
+    simply recomputes their unchanged stats).  Semantics match the unfused
+    loop: step from correspondences at T, then re-evaluate at T_new, stop on
+    relative fitness/RMSE deltas (Open3D ``ICPConvergenceCriteria``).
+    """
+    r2 = jnp.asarray(max_dist, jnp.float32).reshape(1, 1) ** 2
+    bsz = inits.shape[0]
+
+    def stats_eq(T):
+        pts = se3.transform_points(T, points)
+        out = pallas_icp.p2l_normal_eq(pts, maskf, t_t, tn_t, tc, tv, r2,
+                                       block_m=block_m, block_n=block_n,
+                                       interpret=interpret)
+        if axis_name is not None:
+            out = jax.lax.psum(out, axis_name)
+        JtJ, Jtr, n_in, d2s = pallas_icp.unpack(out)
+        fit = n_in / jnp.clip(n_src, 1.0, None)
+        rmse = jnp.sqrt(d2s / jnp.clip(n_in, 1.0, None))
+        return JtJ, Jtr, fit, rmse
+
+    JtJ0, Jtr0, fit0, rmse0 = stats_eq(inits)
+    it0 = jnp.zeros((bsz,), jnp.int32)
+    done0 = jnp.zeros((bsz,), bool)
+
+    def cond(carry):
+        T, JtJ, Jtr, fit, rmse, it, itg, done = carry
+        return jnp.any(~done) & (itg < max_iterations)
+
+    def body(carry):
+        T, JtJ, Jtr, fit, rmse, it, itg, done = carry
+        delta = jax.vmap(_solve6)(JtJ, Jtr)
+        if use_exp_retraction:
+            dT = se3.se3_exp(delta)
+        else:
+            dT = _euler_xyz_transform(delta)
+        T_new = jnp.where(done[:, None, None], T, dT @ T)
+        JtJn, Jtrn, fitn, rmsen = stats_eq(T_new)
+        conv = (jnp.abs(fit - fitn) < relative_fitness) & \
+            (jnp.abs(rmse - rmsen) < relative_rmse)
+        it = it + (~done).astype(jnp.int32)
+        return T_new, JtJn, Jtrn, fitn, rmsen, it, itg + 1, done | conv
+
+    T, _, _, fit, rmse, it, _, _ = jax.lax.while_loop(
+        cond, body, (inits, JtJ0, Jtr0, fit0, rmse0, it0, jnp.int32(0), done0))
+    return RegistrationResult(transformation=T, fitness=fit, inlier_rmse=rmse,
+                              num_iterations=it)
+
+
+@partial(jax.jit, static_argnames=("max_iterations", "use_exp_retraction",
+                                   "interpret"))
+def batched_icp_point_to_plane(source: PointCloud, target_grid: HashGrid,
+                               inits: jnp.ndarray,
+                               max_correspondence_distance,
+                               max_iterations: int = 30,
+                               relative_fitness: float = 1e-6,
+                               relative_rmse: float = 1e-6,
+                               use_exp_retraction: bool = False,
+                               interpret: bool = False) -> RegistrationResult:
+    """Natively-batched fused point-to-plane ICP (Pallas kernel).
+
+    Two layouts, detected from array ranks:
+      * per-element: ``source``/``target_grid`` leaves carry a leading batch
+        dim matching ``inits`` (odometry scan-pair batches);
+      * shared: ``source``/``target_grid`` are single clouds and only
+        ``inits`` is batched (multi-start localization — the map is stored
+        once in HBM and streamed once per kernel sweep).
+
+    Requires a TPU backend (or ``interpret=True`` for tests); target grid
+    must carry normals; capacities must tile (see ``pallas_icp.supports``).
+    """
+    assert target_grid.normals_sorted is not None, "target grid needs normals"
+    m = source.points.shape[-2]
+    n = target_grid.points_sorted.shape[-2]
+    bm, bn = _fused_blocks(m, n)
+    assert bm is not None and bn is not None, (m, n)
+    valid = target_grid.hashes_sorted != hashgrid.INT32_MAX
+    t_t, tn_t, tc, tv = pallas_icp.prepare_target(
+        target_grid.points_sorted, target_grid.normals_sorted, valid)
+    maskf = source.mask.astype(jnp.float32)[..., None]
+    n_src = jnp.sum(source.mask.astype(jnp.float32), axis=-1)
+    return _icp_p2l_fused_batch(
+        source.points, maskf, n_src, t_t, tn_t, tc, tv, inits,
+        max_correspondence_distance, max_iterations,
+        relative_fitness, relative_rmse, use_exp_retraction, None,
+        bm, bn, interpret=interpret)
+
+
 @partial(jax.jit, static_argnames=("max_iterations", "bucket_size",
                                    "use_exp_retraction", "axis_name",
                                    "nn_method"))
@@ -159,6 +261,25 @@ def icp_point_to_plane(source: PointCloud, target_grid: HashGrid, init: jnp.ndar
     correspondence-block decomposition of the BASELINE north star.
     """
     assert target_grid.normals_sorted is not None, "target grid needs normals"
+    if nn_method in ("auto", "fused") and jax.default_backend() == "tpu":
+        bm, bn = _fused_blocks(source.capacity, target_grid.capacity)
+        if bm is not None and bn is not None:
+            valid = target_grid.hashes_sorted != hashgrid.INT32_MAX
+            t_t, tn_t, tc, tv = pallas_icp.prepare_target(
+                target_grid.points_sorted, target_grid.normals_sorted, valid)
+            maskf = source.mask.astype(jnp.float32)[:, None]
+            n_src = jnp.sum(source.mask.astype(jnp.float32))
+            if axis_name is not None:
+                n_src = jax.lax.psum(n_src, axis_name)
+            res = _icp_p2l_fused_batch(
+                source.points[None], maskf, n_src, t_t, tn_t, tc, tv,
+                init[None], max_correspondence_distance, max_iterations,
+                relative_fitness, relative_rmse, use_exp_retraction,
+                axis_name, bm, bn)
+            return RegistrationResult(
+                transformation=res.transformation[0], fitness=res.fitness[0],
+                inlier_rmse=res.inlier_rmse[0],
+                num_iterations=res.num_iterations[0])
     max_dist = jnp.asarray(max_correspondence_distance, jnp.float32)
 
     def corr_stats(T):

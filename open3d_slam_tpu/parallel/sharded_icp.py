@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from open3d_slam_tpu.ops import registration as reg_ops
+from open3d_slam_tpu.ops import pallas_icp, registration as reg_ops
 from open3d_slam_tpu.ops.hashgrid import HashGrid
 from open3d_slam_tpu.utils.pointcloud import PointCloud
 
@@ -29,14 +29,24 @@ from open3d_slam_tpu.utils.pointcloud import PointCloud
 def batched_icp_p2l(sources: PointCloud, grids: HashGrid, inits: jnp.ndarray,
                     max_correspondence_distance, max_iterations: int = 30,
                     bucket_size: int = 16) -> reg_ops.RegistrationResult:
-    """vmap of point-to-plane ICP over a leading batch axis.
+    """Point-to-plane ICP over a leading batch axis.
 
     All of ``sources``/``grids``/``inits`` carry a leading batch dim; shard
     them over the mesh 'data' axis (parallel.mesh.shard_batch) and jit does
     the rest — each device runs its share of registrations.
+
+    On TPU this lowers to the natively-batched fused Pallas kernel (one
+    kernel call per GN iteration for the whole batch — vmapping pallas_call
+    compiles pathologically on some runtimes, so batching lives in the
+    kernel grid instead).  Elsewhere it vmaps the probe-NN solver.
     """
-    # nn_method: vmapping the Pallas NN kernel compiles pathologically on
-    # the axon backend; the XLA brute-force scan batches cleanly.
+    m = sources.points.shape[-2]
+    n = grids.points_sorted.shape[-2]
+    if (jax.default_backend() == "tpu" and grids.normals_sorted is not None
+            and pallas_icp.supports(m, n)):
+        return reg_ops.batched_icp_point_to_plane(
+            sources, grids, inits, max_correspondence_distance,
+            max_iterations=max_iterations)
     fn = lambda s, g, T0: reg_ops.icp_point_to_plane(
         s, g, T0, max_correspondence_distance,
         max_iterations=max_iterations, bucket_size=bucket_size,
