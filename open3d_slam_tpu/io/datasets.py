@@ -154,7 +154,39 @@ def save_sequence(seq: SyntheticSequence, folder: str):
 
 
 def load_sequence(folder: str) -> SyntheticSequence:
-    files = sorted(f for f in os.listdir(folder)
+    """Replay a scan folder: auto-detects the format.
+
+    - ``scan_*.npz`` (points + t) with optional ``ground_truth.npy``,
+    - KITTI odometry: a ``velodyne/`` subdir (or ``*.bin`` files directly)
+      with optional ``times.txt`` / ``poses.txt``,
+    - a folder of ``*.pcd`` files sorted by name (0.1 s nominal spacing,
+      the reference's default ``scanDuration``).
+
+    The directory-of-files replay is the rosbag-replay analog
+    (reference ``RosbagRangeDataProcessorRos::readRosbag``).
+    """
+    entries = os.listdir(folder)
+    velodyne_dir = None
+    if "velodyne" in entries and os.path.isdir(os.path.join(folder, "velodyne")):
+        velodyne_dir = os.path.join(folder, "velodyne")
+    elif any(f.endswith(".bin") for f in entries):
+        velodyne_dir = folder
+    if velodyne_dir is not None:
+        from open3d_slam_tpu.io import kitti
+        return kitti.load_kitti_sequence(
+            velodyne_dir,
+            times_file=os.path.join(folder, "times.txt"),
+            poses_file=os.path.join(folder, "poses.txt"))
+
+    pcd_files = sorted(f for f in entries if f.endswith(".pcd"))
+    if pcd_files and not any(f.endswith(".npz") for f in entries):
+        from open3d_slam_tpu.io import pcd as pcd_io
+        scans = [np.asarray(pcd_io.read_pcd(os.path.join(folder, f))["points"],
+                            np.float32) for f in pcd_files]
+        ts = [0.1 * i for i in range(len(scans))]
+        return SyntheticSequence(scans=scans, timestamps=ts, ground_truth=[])
+
+    files = sorted(f for f in entries
                    if f.startswith("scan_") and f.endswith(".npz"))
     scans, ts = [], []
     for f in files:

@@ -76,3 +76,33 @@ def test_sequence_save_load(tmp_path):
     assert len(loaded) == 3
     np.testing.assert_allclose(loaded.scans[0], seq.scans[0], atol=1e-6)
     np.testing.assert_allclose(loaded.ground_truth[1], seq.ground_truth[1])
+
+
+def test_load_sequence_pcd_folder(tmp_path, rng):
+    folder = tmp_path / "pcds"
+    folder.mkdir()
+    scans = [rng.normal(size=(64, 3)).astype(np.float32) for _ in range(3)]
+    for i, s in enumerate(scans):
+        pcd.write_pcd(str(folder / f"cloud_{i:03d}.pcd"), s)
+    seq = datasets.load_sequence(str(folder))
+    assert len(seq) == 3
+    for got, ref in zip(seq.scans, scans):
+        np.testing.assert_allclose(got, ref, atol=1e-6)
+    assert seq.timestamps[1] == pytest.approx(0.1)
+
+
+def test_load_sequence_kitti_folder(tmp_path, rng):
+    folder = tmp_path / "kitti_seq"
+    (folder / "velodyne").mkdir(parents=True)
+    scans = [rng.normal(size=(64, 4)).astype(np.float32) for _ in range(3)]
+    for i, s in enumerate(scans):
+        s.tofile(str(folder / "velodyne" / f"{i:06d}.bin"))
+    (folder / "times.txt").write_text("0.0\n0.2\n0.4\n")
+    poses = np.hstack([np.eye(3), np.zeros((3, 1))]).reshape(-1)
+    (folder / "poses.txt").write_text(
+        "\n".join(" ".join(str(v) for v in poses) for _ in range(3)))
+    seq = datasets.load_sequence(str(folder))
+    assert len(seq) == 3
+    np.testing.assert_allclose(seq.scans[1], scans[1][:, :3], atol=1e-6)
+    assert seq.timestamps[2] == pytest.approx(0.4)
+    assert len(seq.ground_truth) == 3
