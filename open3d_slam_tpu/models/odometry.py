@@ -37,9 +37,7 @@ class LidarOdometry:
         self.params = params or OdometryParameters()
         self.processed_capacity = processed_capacity
         self.registration = cloud_registration_factory(self.params.scan_matcher)
-        c = self.params.scan_processing.cropper
-        self.cropper = croppers.from_params(
-            c.cropper_name, c.cropping_max_radius, c.cropping_min_radius)
+        self.cropper = croppers.from_cropper_params(self.params.scan_processing.cropper)
         self.odom_to_range_sensor_cumulative = np.eye(4)
         self.odom_buffer = TransformInterpolationBuffer(buffer_size_limit)
         self.prev: Optional[PreparedCloud] = None

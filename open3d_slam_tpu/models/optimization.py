@@ -38,6 +38,8 @@ class OptimizationProblem:
         self.node_poses_optimized: Optional[List[np.ndarray]] = None
         self._num_odometry_edges_prev = 0
         self.is_running_optimization = False
+        self.edge_weights: Optional[np.ndarray] = None
+        self.num_edges_pruned_last_solve = 0
 
     # ------------------------------------------------------------------
 
@@ -132,13 +134,27 @@ class OptimizationProblem:
             edge_transform=jnp.asarray(T), edge_information=jnp.asarray(info),
             edge_uncertain=jnp.asarray(unc), edge_mask=jnp.asarray(emask))
         p = self.params.global_optimization
-        X, w = pg_ops.optimize(
+        X, w, pruned = pg_ops.optimize(
             graph,
             max_correspondence_distance=p.max_correspondence_distance,
             preference_loop_closure=p.loop_closure_preference,
             edge_prune_threshold=p.edge_prune_threshold,
             reference_node=p.reference_node)
         X = np.asarray(X, np.float64)
+        # Drop pruned loop-closure edges permanently (Open3D GlobalOptimization
+        # optimizes the pruned graph; a rejected closure must not re-bend the
+        # graph on the next solve).
+        pruned = np.asarray(pruned)
+        n_odo = len(self.odometry_constraints)
+        kept_lc = [c for i, c in enumerate(self.loop_closure_constraints)
+                   if not pruned[n_odo + i]]
+        n_pruned = len(self.loop_closure_constraints) - len(kept_lc)
+        if n_pruned:
+            print(f"Pose graph pruning: dropped {n_pruned} uncertain edge(s) "
+                  f"below weight {p.edge_prune_threshold}")
+        self.loop_closure_constraints = kept_lc
+        self.edge_weights = np.asarray(w)
+        self.num_edges_pruned_last_solve = n_pruned
         self.node_poses_optimized = [X[i] for i in range(n)]
         self.is_running_optimization = False
 

@@ -45,12 +45,8 @@ class ScanToMapIcp:
             reg_type=params.scan_matcher.scan_to_map_reg_type,
             icp=params.scan_matcher.icp)
         self.registration = CloudRegistrationStrategy(cr.reg_type, cr.icp)
-        mb = params.map_builder.cropper
-        self.map_builder_cropper = croppers.from_params(
-            mb.cropper_name, mb.cropping_max_radius, mb.cropping_min_radius)
-        sp = params.scan_processing.cropper
-        self.scan_matcher_cropper = croppers.from_params(
-            sp.cropper_name, sp.cropping_max_radius, sp.cropping_min_radius)
+        self.map_builder_cropper = croppers.from_cropper_params(params.map_builder.cropper)
+        self.scan_matcher_cropper = croppers.from_cropper_params(params.scan_processing.cropper)
         self._rng_key = jax.random.PRNGKey(1)
 
     def preprocess(self, cloud: PointCloud) -> PointCloud:

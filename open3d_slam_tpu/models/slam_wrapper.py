@@ -86,15 +86,21 @@ class SlamWrapper:
     # ------------------------------------------------------------------
     # Ingest (SlamWrapper::addRangeScan, :102-115)
 
-    def add_range_scan(self, points: np.ndarray, timestamp: float) -> bool:
+    def add_range_scan(self, points: np.ndarray, timestamp: float,
+                       colors: Optional[np.ndarray] = None) -> bool:
+        """Ingest one scan; optional per-point RGB in [0,1] is carried to the
+        dense map (the reference ingests colors via ``rosToOpen3d``,
+        ``open3d_conversions.cpp:60-95``, aggregated at ``Voxel.cpp:33-36``)."""
         finite = np.isfinite(points).all(axis=1)
         points = points[finite]
+        if colors is not None:
+            colors = np.asarray(colors, np.float32)[finite]
         back = self.odometry_buffer.peek_back()
         if back is not None and timestamp < back.time:
             print("you are trying to add a range scan out of order! Dropping!")
             return False
         cloud = pclib.from_numpy(points.astype(np.float32),
-                                 capacity=self._raw_capacity)
+                                 capacity=self._raw_capacity, colors=colors)
         self.odometry_buffer.push(TimestampedPointCloud(timestamp, cloud))
         return True
 
@@ -251,9 +257,10 @@ class SlamWrapper:
                 break
         return n
 
-    def process_scan(self, points: np.ndarray, timestamp: float) -> bool:
+    def process_scan(self, points: np.ndarray, timestamp: float,
+                     colors: Optional[np.ndarray] = None) -> bool:
         """Convenience: ingest + drain (sequential online mode)."""
-        if not self.add_range_scan(points, timestamp):
+        if not self.add_range_scan(points, timestamp, colors=colors):
             return False
         return self.process_queued() > 0
 

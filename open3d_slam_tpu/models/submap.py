@@ -44,12 +44,10 @@ class Submap:
         self.map_cloud: PointCloud = pclib.empty(map_capacity, with_normals=True)
         self.dense_map = dense_map.empty(
             dense_capacity, max(params.dense_map_builder.map_voxel_size, 1e-3))
-        c = params.map_builder.cropper
-        self.map_builder_cropper = croppers.from_params(
-            c.cropper_name, c.cropping_max_radius, c.cropping_min_radius)
-        cd = params.dense_map_builder.cropper
-        self.dense_map_cropper = croppers.from_params(
-            cd.cropper_name, cd.cropping_max_radius, cd.cropping_min_radius)
+        self.map_builder_cropper = croppers.from_cropper_params(params.map_builder.cropper)
+        self.dense_map_cropper = croppers.from_cropper_params(params.dense_map_builder.cropper)
+        # ColorRangeCropper applied to the dense-map input (Submap.cpp:80).
+        self.color_cropper = croppers.ColorRangeCropper()
         self.map_to_submap = np.eye(4)       # origin pose in map frame
         self.map_to_range_sensor = np.eye(4)
         self.submap_center: Optional[np.ndarray] = None
@@ -115,6 +113,7 @@ class Submap:
         p = self.params
         T = jnp.asarray(map_to_range_sensor, jnp.float32)
         cropped = self.dense_map_cropper.crop(raw_scan)
+        cropped = self.color_cropper.crop(cropped)  # Submap.cpp:80
         transformed = cropped.with_(points=se3.transform_points(T, cropped.points))
         self.dense_map = dense_map.insert(self.dense_map, transformed)
         carve_due = (is_perform_carving and self.n_scans_inserted_dense > 0 and
@@ -127,13 +126,13 @@ class Submap:
             scan_in_map = dedup.with_(points=se3.transform_points(T, dedup.points))
             step = 2.0 * cv.neighborhood_radius_dense_map
             max_steps = int(np.ceil(cv.max_raytracing_length / max(step, 1e-3))) + 1
-            keys = carving.carved_voxel_keys(
+            keys, base = carving.carved_voxel_keys(
                 scan_in_map, T[:3, 3],
                 float(self.dense_map.voxel_size), cv.neighborhood_radius_dense_map,
                 cv.truncation_distance, cv.max_raytracing_length,
                 max_steps=max_steps)
             self.dense_map = dense_map.remove_keys(
-                self.dense_map, keys,
+                self.dense_map, keys, base,
                 neighbor_deltas=carving.FACE_NEIGHBOR_DELTAS)
         self.n_scans_inserted_dense += 1
         return True
@@ -188,6 +187,12 @@ class Submap:
             return
         sparse = voxel.voxel_downsample(self.map_cloud, p.feature_voxel_size,
                                         out_capacity=self.feature_capacity)
+        n_feat = int(sparse.count())
+        if n_feat >= self.feature_capacity:
+            print(f"WARNING: submap {self.id} feature cloud saturated at "
+                  f"{self.feature_capacity} voxels — raise "
+                  f"CapacityParameters.feature_cloud or place-recognition "
+                  f"quality degrades (uniform-stride subsample in effect)")
         sparse = normals_ops.estimate_normals(
             sparse, radius=p.normal_estimation_radius, max_nn=p.normal_knn,
             orientation_reference=jnp.zeros((3,), jnp.float32))

@@ -28,7 +28,7 @@ import numpy as np
 
 from open3d_slam_tpu.models.adjacency import AdjacencyMatrix
 from open3d_slam_tpu.models.submap import Submap
-from open3d_slam_tpu.ops.voxel import hash_coords, voxel_coords
+from open3d_slam_tpu.ops.voxel import pack_coords, voxel_coords
 from open3d_slam_tpu.utils import se3
 from open3d_slam_tpu.utils.config import MapperParameters
 from open3d_slam_tpu.utils.pointcloud import PointCloud
@@ -56,15 +56,20 @@ class OptimizedTransform(NamedTuple):
 @partial(jax.jit, static_argnames=())
 def _occupancy_fitness(map_points: jnp.ndarray, map_mask: jnp.ndarray,
                        scan: PointCloud, T: jnp.ndarray, cell_size: jnp.ndarray):
-    """Fraction of scan points landing in occupied voxels of the map."""
-    keys = jnp.where(map_mask,
-                     hash_coords(voxel_coords(map_points, cell_size)), INT32_MAX)
+    """Fraction of scan points landing in occupied voxels of the map.
+
+    Exact packed keys (no hash collisions — ``isSwitchingSubmapsConsistant``
+    compares exact voxel membership, ``SubmapCollection.cpp:352-364``)."""
+    map_coords = voxel_coords(map_points, cell_size)
+    base = jnp.min(jnp.where(map_mask[:, None], map_coords, jnp.int32(2**30)),
+                   axis=0)
+    keys = jnp.where(map_mask, pack_coords(map_coords, base), INT32_MAX)
     keys_sorted = jnp.sort(keys)
     p = se3.transform_points(T, scan.points)
-    qk = hash_coords(voxel_coords(p, cell_size))
+    qk = pack_coords(voxel_coords(p, cell_size), base)
     pos = jnp.clip(jnp.searchsorted(keys_sorted, qk, side="left"),
                    0, keys_sorted.shape[0] - 1)
-    hit = (keys_sorted[pos] == qk) & scan.mask
+    hit = (keys_sorted[pos] == qk) & (qk >= 0) & scan.mask
     n = jnp.clip(jnp.sum(scan.mask.astype(jnp.float32)), 1.0, None)
     return jnp.sum(hit.astype(jnp.float32)) / n
 
@@ -228,15 +233,21 @@ class SubmapCollection:
             raw_scan, map_to_range_sensor, timestamp, True)
 
     def force_new_submap_creation(self):
-        """``forceNewSubmapCreation`` (``SubmapCollection.cpp:162-169``)."""
+        """``forceNewSubmapCreation`` (``SubmapCollection.cpp:163-170``):
+        insert an EMPTY cloud so the switch bookkeeping (finish prev submap,
+        feature/LC queues, overlap replay) runs without double-inserting any
+        data.  Works even when the overlap buffer is empty."""
         if not self.submaps or self.timestamp is None:
             return
         self._force_new_submap = True
-        # Re-inserting with an empty scan triggers the switch bookkeeping.
-        empty_scan = self.overlap_scans_buffer[-1].cloud if self.overlap_scans_buffer else None
-        if empty_scan is None:
-            self._force_new_submap = False
-            return
+        # Same capacity/pytree structure as the buffered scans to reuse the
+        # compiled insertion program; all-False mask = PointCloud().
+        if self.overlap_scans_buffer:
+            template = self.overlap_scans_buffer[-1].cloud
+            empty_scan = template.with_(mask=jnp.zeros_like(template.mask))
+        else:
+            from open3d_slam_tpu.utils import pointcloud as pclib
+            empty_scan = pclib.empty(8, with_normals=True)
         self.insert_scan(empty_scan, empty_scan, self.map_to_range_sensor, self.timestamp)
         self._force_new_submap = False
 

@@ -14,6 +14,14 @@ critical sections in the reference), ALL rays' step samples are generated as
 one (N_rays x N_steps) batch of voxel keys, sorted once, and map points test
 membership with a vectorized binary search — zero scatter, one sort.
 
+Membership keys are EXACT (collision-free): voxel coords are packed relative
+to the sensor's voxel (``voxel.pack_coords``) so every voxel within
+EXACT_EXTENT/2 (~645) voxels of the sensor gets a unique int32 — the
+reference compares exact ``Vector3i`` keys (``VoxelHashMap.hpp:25-35``), and
+an additive-hash collision here would delete a valid map point permanently.
+Out-of-region map points get sentinel -1 and are conservatively kept (they
+are beyond ``max_ray_length`` anyway whenever max_ray/voxel <= 645).
+
 The normal-dot gate uses the map-point->sensor direction instead of each
 individual ray's direction; rays visiting a given voxel all pass near it and
 the sensor, so the directions agree to within the voxel's angular size —
@@ -22,25 +30,32 @@ equivalent up to discretization.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
-from open3d_slam_tpu.ops.voxel import hash_coords, voxel_coords
+from open3d_slam_tpu.ops.voxel import (EXACT_EXTENT, pack_coords,
+                                       region_base_from_center, voxel_coords)
 from open3d_slam_tpu.utils.pointcloud import PointCloud
 
 INT32_MAX = jnp.iinfo(jnp.int32).max
 
+# Per-axis packed-key multipliers: key = relx*E^2 + rely*E + relz.
+_AXIS_MULT = (EXACT_EXTENT * EXACT_EXTENT, EXACT_EXTENT, 1)
 
-_HASH_PRIMES = (73856093, 19349669, 83492791)  # keep in sync with voxel.hash_coords
+
+def _sensor_base(sensor_position: jnp.ndarray, key_voxel_size) -> jnp.ndarray:
+    inv = 1.0 / jnp.asarray(key_voxel_size, jnp.float32)
+    center = jnp.floor(sensor_position * inv).astype(jnp.int32)
+    return region_base_from_center(center)
 
 
 def _ray_visit_keys(scan_points: jnp.ndarray, scan_mask: jnp.ndarray,
                     sensor_position: jnp.ndarray, step_size,
                     truncation_distance, max_ray_length,
-                    key_voxel_size, max_steps: int) -> jnp.ndarray:
-    """Sorted voxel-hash keys of all voxels visited by the scan's rays.
+                    key_voxel_size, max_steps: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(sorted exact keys of all voxels visited by the scan's rays, region base).
 
     Invalid samples get INT32_MAX (sorted to the tail).  Shape (N * S,).
 
@@ -50,6 +65,7 @@ def _ray_visit_keys(scan_points: jnp.ndarray, scan_mask: jnp.ndarray,
     as a 21 GB allocation on a 16 GB v5e with the raw-scan capacity).
     """
     step_size = jnp.asarray(step_size, jnp.float32)
+    base = _sensor_base(sensor_position, key_voxel_size)
     d = scan_points - sensor_position[None, :]
     length = jnp.linalg.norm(d, axis=-1)                    # (N,)
     direction = d / jnp.clip(length[:, None], 1e-9, None)   # (N, 3)
@@ -58,12 +74,15 @@ def _ray_visit_keys(scan_points: jnp.ndarray, scan_mask: jnp.ndarray,
     steps = jnp.arange(max_steps, dtype=jnp.float32)[None, :] * step_size  # (1, S)
     inv = 1.0 / jnp.asarray(key_voxel_size, jnp.float32)
     keys = jnp.zeros((scan_points.shape[0], max_steps), jnp.int32)
-    for a, p in enumerate(_HASH_PRIMES):
+    in_range = jnp.ones((scan_points.shape[0], max_steps), bool)
+    for a, mult in enumerate(_AXIS_MULT):
         pos_a = sensor_position[a] + direction[:, a:a + 1] * steps         # (N, S)
-        keys = keys + jnp.floor(pos_a * inv).astype(jnp.int32) * jnp.int32(p)
-    valid = (steps < max_path[:, None]) & scan_mask[:, None]               # (N, S)
+        rel_a = jnp.floor(pos_a * inv).astype(jnp.int32) - base[a]
+        in_range &= (rel_a >= 0) & (rel_a < EXACT_EXTENT)
+        keys = keys + rel_a * jnp.int32(mult)
+    valid = (steps < max_path[:, None]) & scan_mask[:, None] & in_range    # (N, S)
     keys = jnp.where(valid, keys, INT32_MAX)
-    return jnp.sort(keys.reshape(-1))
+    return jnp.sort(keys.reshape(-1)), base
 
 
 @partial(jax.jit, static_argnames=("max_steps",))
@@ -77,15 +96,17 @@ def carve_mask(map_pc: PointCloud, scan_pc: PointCloud,
     ``max_steps`` must satisfy max_steps * voxel_size >= max_ray_length for
     full coverage (callers size it from config).
     """
-    keys_sorted = _ray_visit_keys(
+    keys_sorted, base = _ray_visit_keys(
         scan_pc.points, scan_pc.mask, sensor_position,
         step_size=voxel_size, truncation_distance=truncation_distance,
         max_ray_length=max_ray_length, key_voxel_size=voxel_size,
         max_steps=max_steps)
-    map_keys = hash_coords(voxel_coords(map_pc.points, voxel_size))
+    # Exact keys for the map side; out-of-region -> -1 (never matches a
+    # sample key, which is >= 0 or INT32_MAX) -> conservative keep.
+    map_keys = pack_coords(voxel_coords(map_pc.points, voxel_size), base)
     pos = jnp.searchsorted(keys_sorted, map_keys, side="left")
     pos = jnp.clip(pos, 0, keys_sorted.shape[0] - 1)
-    hit = keys_sorted[pos] == map_keys
+    hit = (keys_sorted[pos] == map_keys) & (map_keys >= 0)
 
     if map_pc.normals is not None:
         to_pt = map_pc.points - sensor_position[None, :]
@@ -101,13 +122,16 @@ def carve_mask(map_pc: PointCloud, scan_pc: PointCloud,
     return map_pc.mask & ~remove
 
 
-# Face-neighborhood hash deltas: hash_coords is linear in the coords, so
-# hash(c + o) == hash(c) + hash(o) under int32 wrapping.  The offset set
-# {0, +-e1, +-e2, +-e3} is symmetric under negation, so "sample visits any
-# neighbor of voxel v" == "v + offset is a visited sample voxel" — the
-# neighborhood test can run on the (much smaller) map side.
+# Face-neighborhood deltas in PACKED key space: pack_coords is linear in the
+# coords, so key(c + o) == key(c) + delta(o) whenever both stay in-region.
+# The offset set {0, +-e1, +-e2, +-e3} is symmetric under negation, so
+# "sample visits any neighbor of voxel v" == "v + offset is a visited sample
+# voxel" — the neighborhood test can run on the (much smaller) map side.
 FACE_NEIGHBOR_DELTAS = jnp.array(
-    [0, 73856093, -73856093, 19349669, -19349669, 83492791, -83492791],
+    [0,
+     _AXIS_MULT[0], -_AXIS_MULT[0],
+     _AXIS_MULT[1], -_AXIS_MULT[1],
+     1, -1],
     jnp.int32)
 
 
@@ -115,8 +139,8 @@ FACE_NEIGHBOR_DELTAS = jnp.array(
 def carved_voxel_keys(scan_pc: PointCloud, sensor_position: jnp.ndarray,
                       dense_voxel_size, neighborhood_radius,
                       truncation_distance, max_ray_length,
-                      max_steps: int = 128) -> jnp.ndarray:
-    """Sorted hash keys of ray-visited dense-map voxel samples
+                      max_steps: int = 128) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(sorted exact keys of ray-visited dense-map voxel samples, region base)
     (``helpers.cpp:347-377``).
 
     Step size = 2 * neighborhood radius.  Each sample flushes the voxels
@@ -124,7 +148,8 @@ def carved_voxel_keys(scan_pc: PointCloud, sensor_position: jnp.ndarray,
     face-neighborhood expansion (covers radius <= voxel) is applied by the
     CONSUMER on the map side (see ``dense_map.remove_keys`` with
     ``FACE_NEIGHBOR_DELTAS``) — emitting 7 keys per sample here would build
-    an (N, S, 7) tensor 7x the size for the identical removal set.
+    an (N, S, 7) tensor 7x the size for the identical removal set.  The
+    consumer must re-key its own voxels with the returned ``base``.
     """
     step = 2.0 * jnp.asarray(neighborhood_radius, jnp.float32)
     return _ray_visit_keys(scan_pc.points, scan_pc.mask, sensor_position,

@@ -118,23 +118,39 @@ def insert(vm: VoxelizedPointCloud, pc: PointCloud) -> VoxelizedPointCloud:
 
 @jax.jit
 def remove_keys(vm: VoxelizedPointCloud, keys_to_remove_sorted: jnp.ndarray,
+                region_base: jnp.ndarray,
                 neighbor_deltas: jnp.ndarray | None = None) -> VoxelizedPointCloud:
-    """Flush voxels whose key is in the given sorted key array (carving).
+    """Flush voxels that match a sorted EXACT-key removal set (carving).
 
-    ``neighbor_deltas`` (optional, (K,) int32 hash deltas — e.g.
+    ``keys_to_remove_sorted`` are collision-free packed keys relative to
+    ``region_base`` (``carving.carved_voxel_keys``); each store voxel is
+    re-keyed exactly from its aggregate mean (the mean of a voxel's points
+    lies inside that voxel), so a distant hash collision can never flush a
+    valid voxel — matching the reference's exact ``Vector3i`` comparisons.
+
+    ``neighbor_deltas`` (optional, (K,) int32 packed-key deltas — e.g.
     ``carving.FACE_NEIGHBOR_DELTAS``): also flush a voxel when any of its
-    delta-shifted keys is in the set.  Because hash_coords is linear and the
+    delta-shifted keys is in the set.  Because pack_coords is linear and the
     face-offset set is negation-symmetric, this equals expanding each
     visited sample by the same neighborhood on the producer side, at map
     capacity x K lookups instead of rays x steps x K keys.
     """
+    from open3d_slam_tpu.ops.voxel import pack_coords
+    valid = vm.keys != INT32_MAX
+    mean = vm.pos_sum / jnp.clip(vm.count, 1.0, None)[:, None]
+    exact = pack_coords(voxel_coords(mean, vm.voxel_size), region_base)  # (C,)
+    exact = jnp.where(valid, exact, jnp.int32(-1))
     if neighbor_deltas is None:
-        probe = vm.keys[:, None]                               # (C, 1)
+        probe = exact[:, None]                                 # (C, 1)
     else:
-        probe = vm.keys[:, None] + neighbor_deltas[None, :]    # (C, K)
+        probe = exact[:, None] + neighbor_deltas[None, :]      # (C, K)
+    # Out-of-region voxels (exact == -1) may only probe to tiny values near
+    # -1; removal-set keys are >= 0 or INT32_MAX, and a -1 +- delta can never
+    # equal a real in-region key of a DIFFERENT voxel only if we gate:
+    probe = jnp.where(exact[:, None] >= 0, probe, jnp.int32(-1))
     pos = jnp.searchsorted(keys_to_remove_sorted, probe, side="left")
     pos = jnp.clip(pos, 0, keys_to_remove_sorted.shape[0] - 1)
-    hit = jnp.any(keys_to_remove_sorted[pos] == probe, axis=-1) & (vm.keys != INT32_MAX)
+    hit = jnp.any((keys_to_remove_sorted[pos] == probe) & (probe >= 0), axis=-1) & valid
     # Mark removed slots empty; keep arrays sorted by pushing keys to INT32_MAX
     # and re-sorting (stable w.r.t. remaining keys).
     keys = jnp.where(hit, INT32_MAX, vm.keys)

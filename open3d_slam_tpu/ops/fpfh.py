@@ -85,9 +85,12 @@ def compute_fpfh(pc: PointCloud, radius, max_nn: int = 100,
     assert pc.normals is not None, "FPFH needs normals"
     n_pts = pc.capacity
     grid = hashgrid.build(pc, cell_size=radius)
-    idx, d2, valid = hashgrid.query_radius(grid, pc.points, radius,
-                                           bucket_size=bucket_size,
-                                           max_neighbors=max_nn)
+    # Exact hybrid radius+k neighborhoods (KDTreeSearchParamHybrid parity):
+    # at FPFH scale (radius >> point spacing) the bucket-probing search
+    # truncates neighborhoods; the MXU brute force is exact and fast at
+    # feature-cloud capacities.
+    idx, d2, valid = hashgrid.query_radius_bruteforce(grid, pc.points, radius,
+                                                      max_neighbors=max_nn)
     q = grid.points_sorted[idx]                       # (N, K, 3)
     nq = grid.normals_sorted[idx]                     # (N, K, 3)
     p = pc.points[:, None, :]

@@ -202,6 +202,49 @@ def _query_nearest_probe(grid: HashGrid, query_points: jnp.ndarray, max_dist,
     return jnp.where(found, best_idx, 0), jnp.where(found, best_d2, jnp.inf), found
 
 
+@partial(jax.jit, static_argnames=("max_neighbors", "chunk"))
+def query_radius_bruteforce(grid: HashGrid, query_points: jnp.ndarray, radius,
+                            max_neighbors: int = 32, chunk: int = 256
+                            ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """EXACT hybrid radius+k search via a chunked MXU distance matrix.
+
+    The probing ``query_radius`` scans only ``bucket_size`` entries per
+    cell from the sorted-segment start; when cell_size == radius >> point
+    spacing (FPFH: 2.5 m cells over a 0.5 m-voxel cloud, ~125 pts/cell) it
+    truncates neighborhoods with a sorted-hash-position bias.  For the
+    fixed-capacity feature clouds (<= 8k points) a (chunk, N) distance
+    matrix + ``top_k`` is exact ``KDTreeSearchParamHybrid`` and MXU-fast.
+
+    Returns (indices (M, K), sq_dists (M, K), valid (M, K)), nearest-first.
+    """
+    n = grid.capacity
+    m = query_points.shape[0]
+    chunk = min(chunk, m)
+    if m % chunk != 0:
+        chunk = math.gcd(m, chunk)
+    k = min(max_neighbors, n)
+    valid_t = grid.hashes_sorted != INT32_MAX
+    t = grid.points_sorted
+    t2 = jnp.where(valid_t, jnp.sum(t * t, axis=1), jnp.inf)
+    r2 = jnp.asarray(radius, jnp.float32) ** 2
+
+    def body(_, q):
+        q2 = jnp.sum(q * q, axis=1)
+        dots = jnp.dot(q, t.T, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+        d2 = q2[:, None] + t2[None, :] - 2.0 * dots           # (chunk, N)
+        _, topi = jax.lax.top_k(-d2, k)
+        # Exact distances of the winners (f32 cancellation guard).
+        sel_pts = t[topi]
+        sel_d2 = jnp.sum((sel_pts - q[:, None, :]) ** 2, axis=-1)
+        sel_valid = (sel_d2 <= r2) & valid_t[topi]
+        return None, (topi.astype(jnp.int32), sel_d2, sel_valid)
+
+    qs = query_points.reshape(m // chunk, chunk, 3)
+    _, (idx, d2, valid) = jax.lax.scan(body, None, qs)
+    return (idx.reshape(m, k), d2.reshape(m, k), valid.reshape(m, k))
+
+
 @partial(jax.jit, static_argnames=("bucket_size", "max_neighbors"))
 def query_radius(grid: HashGrid, query_points: jnp.ndarray, radius,
                  bucket_size: int = 8, max_neighbors: int = 32

@@ -80,11 +80,12 @@ def estimate_normals(pc: PointCloud, radius, max_nn: int = 20,
     reference passes the LiDAR position.
 
     ``method``: 'probe' gathers up to ``max_nn`` neighbors through the
-    27-cell hash grid (Open3D hybrid-search semantics; fast on CPU).
-    'flash' runs the fused all-pairs Pallas moment kernel (ops/pallas_normals
-    — ALL points in the radius contribute, no max_nn cap; ~100x faster than
-    probing on TPU, where row gathers serialize).  'auto' picks flash on TPU
-    when the capacity tiles.
+    27-cell hash grid (fast on CPU; bucket-truncates in dense cells).
+    'flash' runs the fused all-pairs Pallas moment kernel (ops/pallas_normals)
+    with EXACT hybrid semantics: a k-th-NN distance prepass shrinks each
+    point's radius to min(r, d_k), so the neighborhood equals Open3D's
+    KDTreeSearchParamHybrid — ~100x faster than probing on TPU, where row
+    gathers serialize.  'auto' picks flash on TPU when the capacity tiles.
     """
     n = pc.capacity
     if method == "auto":
@@ -94,7 +95,9 @@ def estimate_normals(pc: PointCloud, radius, max_nn: int = 20,
     if method == "flash":
         from open3d_slam_tpu.ops import pallas_normals
         bm, bn = _flash_blocks(n)
-        mom = pallas_normals.radius_moments(pc.points, pc.mask, radius,
+        dk2 = pallas_normals.kth_neighbor_d2(pc.points, pc.mask, max_nn)
+        r_pp = pallas_normals.hybrid_radius(radius, dk2)
+        mom = pallas_normals.radius_moments(pc.points, pc.mask, r_pp,
                                             block_m=bm, block_n=bn,
                                             interpret=interpret)
         cnt, cov = pallas_normals.moments_to_covariance(mom)

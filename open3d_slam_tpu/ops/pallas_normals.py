@@ -18,9 +18,11 @@ the xx-scale moments accurate enough: coords are pre-centered on the cloud
 centroid, so second moments are O(extent^2) and the cancellation error in
 ``E[xx] - mu_x^2`` stays ~1e-4 of the variance).
 
-Semantics vs the probe path: ALL points inside ``radius`` contribute (no
-``max_nn`` cap) — a strictly larger PCA neighborhood than Open3D's hybrid
-search; plane estimates agree to ~1e-3 rad on LiDAR-like data.
+Hybrid (radius + max_nn) semantics are EXACT: a first chunked MXU top_k
+pass (``kth_neighbor_d2``) finds each point's k-th-NN distance, and the
+moments kernel runs with the per-query radius ``min(r, d_k)`` — the
+neighborhood is then precisely Open3D's ``KDTreeSearchParamHybrid``
+(modulo ties at d_k), with no row gathers anywhere.
 """
 from __future__ import annotations
 
@@ -41,8 +43,8 @@ def _moments_kernel(r2_ref, qp_ref, t_ref, tv_ref, f_ref, out_ref):
     d1 = q[:, 1:2] - t[1:2, :]
     d2_ = q[:, 2:3] - t[2:3, :]
     d2 = d0 * d0 + d1 * d1 + d2_ * d2_               # (BM, BN) exact f32
-    w = jnp.where((d2 <= r2_ref[0, 0]) & (tv_ref[...][0:1, :] > 0.0),
-                  1.0, 0.0)                          # (BM, BN)
+    w = jnp.where((d2 <= r2_ref[...]) & (tv_ref[...][0:1, :] > 0.0),
+                  1.0, 0.0)                          # (BM, BN); r2 per query
     mom = jax.lax.dot_general(
         w, f_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -63,6 +65,10 @@ def radius_moments(points: jnp.ndarray, mask: jnp.ndarray, radius,
                    interpret: bool = False) -> jnp.ndarray:
     """All-pairs radius-neighborhood moments of a cloud against itself.
 
+    ``radius`` may be a scalar or a per-point (N,) array (hybrid search:
+    pass min(r, d_kNN) per point for Open3D KDTreeSearchParamHybrid
+    semantics — see ``kth_neighbor_d2``).
+
     Returns (N, 16) f32: col 0 = neighbor count, cols 1:4 = sum of neighbor
     positions, cols 4:10 = sums of (xx, xy, xz, yy, yz, zz) — all in
     centroid-centered coordinates; cols 10: unused.
@@ -79,13 +85,15 @@ def radius_moments(points: jnp.ndarray, mask: jnp.ndarray, radius,
         axis=1)
     feats = jnp.concatenate(
         [feats, jnp.zeros((n, 6), jnp.float32)], axis=1)   # (N, 16)
-    r2 = jnp.asarray(radius, jnp.float32).reshape(1, 1) ** 2
+    r2 = jnp.broadcast_to(
+        jnp.asarray(radius, jnp.float32) ** 2, (n,)).reshape(n, 1)
     grid = (n // block_m, n // block_n)
     return pl.pallas_call(
         _moments_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((block_m, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((block_m, 3), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, block_n), lambda i, j: (0, j),
@@ -100,6 +108,44 @@ def radius_moments(points: jnp.ndarray, mask: jnp.ndarray, radius,
         out_shape=jax.ShapeDtypeStruct((n, 16), jnp.float32),
         interpret=interpret,
     )(r2, p, p.T, maskf[None, :], feats)
+
+
+@partial(jax.jit, static_argnames=("k", "chunk"))
+def kth_neighbor_d2(points: jnp.ndarray, mask: jnp.ndarray, k: int,
+                    chunk: int = 512) -> jnp.ndarray:
+    """Squared distance to each point's k-th nearest neighbor (self counts,
+    as Open3D's same-cloud KNN does).  Chunked MXU scan + top_k — no gathers.
+
+    Combined with ``radius_moments(per-point radius)`` this gives EXACT
+    ``KDTreeSearchParamHybrid(radius, max_nn)`` neighborhoods:
+    r_i = sqrt(min(r^2, kth_neighbor_d2_i)).
+    """
+    n = points.shape[0]
+    chunk = min(chunk, n)
+    while n % chunk != 0:
+        chunk //= 2
+    k = min(k, n)
+    t2 = jnp.where(mask, jnp.sum(points * points, axis=1), jnp.inf)
+
+    def body(_, q):
+        q2 = jnp.sum(q * q, axis=1)
+        dots = jnp.dot(q, points.T, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+        d2 = q2[:, None] + t2[None, :] - 2.0 * dots
+        topv, _ = jax.lax.top_k(-d2, k)
+        return None, -topv[:, k - 1]
+
+    qs = points.reshape(n // chunk, chunk, 3)
+    _, dk = jax.lax.scan(body, None, qs)
+    return jnp.clip(dk.reshape(n), 0.0, None)
+
+
+def hybrid_radius(radius, dk2: jnp.ndarray) -> jnp.ndarray:
+    """Per-point hybrid radius min(r, d_k), epsilon-inflated so the moments
+    kernel's difference-form d2 (computed in centered coords) keeps the k-th
+    neighbor despite last-ulp disagreement with the expansion-form d_k."""
+    r2 = jnp.minimum(jnp.asarray(radius, jnp.float32) ** 2, dk2)
+    return jnp.sqrt(r2 * (1.0 + 1e-5) + 1e-12)
 
 
 def moments_to_covariance(mom: jnp.ndarray):

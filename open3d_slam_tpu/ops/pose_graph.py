@@ -8,9 +8,11 @@ Semantics kept from Open3D's ``GlobalOptimizationOption``:
   * certain (odometry) edges always at weight 1;
   * uncertain (loop-closure) edges get Geman-McClure line-process weights
     l = (mu / (mu + r^T I r))^2 with mu = preference_loop_closure *
-    max_correspondence_distance^2 (Open3D uses the squared max corr distance
-    scaling);
-  * edges with final weight < edge_prune_threshold are reported pruned;
+    mean(information(5,5)) over the graph's edges (Open3D
+    ComputeLineProcessWeight — info(5,5) is the correspondence count);
+  * two-stage prune-and-reoptimize: uncertain edges with weight <
+    edge_prune_threshold after the first LM pass are dropped and the pruned
+    graph is re-optimized (CreatePoseGraphWithoutInvalidEdges);
   * the reference node is gauge-fixed with a strong prior.
 
 TPU design: per-edge residuals/Jacobians are batched; the 6Nx6N normal
@@ -71,10 +73,15 @@ def optimize(graph: PoseGraphData,
              edge_prune_threshold,
              reference_node,
              max_iterations: int = 25,
-             damping_init: float = 1e-4) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Optimize node poses.  Returns (optimized_poses (N,4,4), edge_weights (E,)).
+             damping_init: float = 1e-4) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Optimize node poses.  Returns (optimized_poses (N,4,4), edge_weights (E,),
+    pruned (E,) bool).
 
-    Levenberg-Marquardt with line-process reweighting each iteration.
+    Two-stage, matching Open3D ``GlobalOptimization``: (1) LM with
+    line-process reweighting on the full graph; (2) drop uncertain edges
+    whose final line-process weight fell below ``edge_prune_threshold``
+    (``CreatePoseGraphWithoutInvalidEdges``) and re-optimize on the pruned
+    graph.  Both stages are one compiled program.
     """
     N = graph.node_poses.shape[0]
     e_src = graph.edge_source
@@ -82,11 +89,17 @@ def optimize(graph: PoseGraphData,
     e_T = graph.edge_transform
     e_info = graph.edge_information
     e_unc = graph.edge_uncertain
-    e_mask = graph.edge_mask
     E = e_src.shape[0]
 
-    mu = (jnp.asarray(preference_loop_closure, jnp.float32) *
-          jnp.asarray(max_correspondence_distance, jnp.float32) ** 2)
+    # Line-process weight mu (Open3D ComputeLineProcessWeight, Choi et al.
+    # CVPR'15 §5): preference_loop_closure * average information(5,5) over
+    # the graph's edges — info(5,5) equals the correspondence count for
+    # GetInformationMatrixFromPointClouds-style matrices, so mu scales with
+    # the information magnitude.  (max_correspondence_distance is part of
+    # the option struct but does not enter the line process.)
+    n_edges = jnp.clip(jnp.sum(graph.edge_mask.astype(jnp.float32)), 1.0, None)
+    avg_corr = jnp.sum(jnp.where(graph.edge_mask, e_info[:, 5, 5], 0.0)) / n_edges
+    mu = jnp.asarray(preference_loop_closure, jnp.float32) * avg_corr
 
     S = jax.nn.one_hot(e_src, N, dtype=jnp.float32)   # (E, N)
     Tm = jax.nn.one_hot(e_tgt, N, dtype=jnp.float32)
@@ -94,7 +107,7 @@ def optimize(graph: PoseGraphData,
     ref_onehot = jax.nn.one_hot(jnp.asarray(reference_node, jnp.int32), N,
                                 dtype=jnp.float32)
 
-    def weights(r):
+    def weights(r, e_mask):
         """Line-process weights (E,)."""
         quad = jnp.einsum("ei,eij,ej->e", r, e_info, r)
         w_lc = (mu / (mu + quad)) ** 2
@@ -129,29 +142,41 @@ def optimize(graph: PoseGraphData,
         cost = jnp.sum(w * jnp.einsum("ei,eij,ej->e", r, e_info, r))
         return H, b, cost
 
-    def lm_step(carry, _):
-        X, damping = carry
-        w = weights(_edge_residual(X, e_src, e_tgt, e_T))
-        H, b, cost = build_normal_eqs(X, w)
-        Hd = H + damping * jnp.diag(jnp.diag(H))
-        L, low = jax.scipy.linalg.cho_factor(Hd, lower=True)
-        delta = jax.scipy.linalg.cho_solve((L, low), -b)          # (6N,)
-        dX = se3.se3_exp(delta.reshape(N, 6))
-        X_new = X @ dX
-        # Accept if cost decreased (recompute with same weights).
-        r_new = _edge_residual(X_new, e_src, e_tgt, e_T)
-        cost_new = jnp.sum(w * jnp.einsum("ei,eij,ej->e", r_new, e_info, r_new))
-        accept = cost_new < cost
-        X = jnp.where(accept, X_new, X)
-        damping = jnp.where(accept, damping * 0.5, damping * 4.0)
-        damping = jnp.clip(damping, 1e-9, 1e6)
-        return (X, damping), cost_new
+    def run_lm(X0, e_mask):
+        def lm_step(carry, _):
+            X, damping = carry
+            w = weights(_edge_residual(X, e_src, e_tgt, e_T), e_mask)
+            H, b, cost = build_normal_eqs(X, w)
+            Hd = H + damping * jnp.diag(jnp.diag(H))
+            L, low = jax.scipy.linalg.cho_factor(Hd, lower=True)
+            delta = jax.scipy.linalg.cho_solve((L, low), -b)          # (6N,)
+            dX = se3.se3_exp(delta.reshape(N, 6))
+            X_new = X @ dX
+            # Accept if cost decreased (recompute with same weights).
+            r_new = _edge_residual(X_new, e_src, e_tgt, e_T)
+            cost_new = jnp.sum(w * jnp.einsum("ei,eij,ej->e", r_new, e_info, r_new))
+            accept = cost_new < cost
+            X = jnp.where(accept, X_new, X)
+            damping = jnp.where(accept, damping * 0.5, damping * 4.0)
+            damping = jnp.clip(damping, 1e-9, 1e6)
+            return (X, damping), cost_new
 
-    (X_opt, _), _ = jax.lax.scan(
-        lm_step, (graph.node_poses, jnp.float32(damping_init)), None,
-        length=max_iterations)
-    final_w = weights(_edge_residual(X_opt, e_src, e_tgt, e_T))
-    return X_opt, final_w
+        (X_opt, _), _ = jax.lax.scan(
+            lm_step, (X0, jnp.float32(damping_init)), None,
+            length=max_iterations)
+        return X_opt
+
+    # Stage 1: full graph.
+    X1 = run_lm(graph.node_poses, graph.edge_mask)
+    w1 = weights(_edge_residual(X1, e_src, e_tgt, e_T), graph.edge_mask)
+    # Stage 2: prune uncertain low-confidence edges and re-optimize
+    # (Open3D GlobalOptimization's CreatePoseGraphWithoutInvalidEdges pass).
+    thr = jnp.asarray(edge_prune_threshold, jnp.float32)
+    pruned = graph.edge_mask & e_unc & (w1 < thr)
+    mask2 = graph.edge_mask & ~pruned
+    X2 = run_lm(X1, mask2)
+    final_w = weights(_edge_residual(X2, e_src, e_tgt, e_T), mask2)
+    return X2, final_w, pruned
 
 
 def information_matrix_from_correspondences(target_points: jnp.ndarray,

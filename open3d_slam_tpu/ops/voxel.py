@@ -50,6 +50,37 @@ def hash_coords(coords: jnp.ndarray) -> jnp.ndarray:
     return x + y + z
 
 
+# Collision-FREE packed keys for membership tests (carving / overlap /
+# occupancy).  The reference compares exact Vector3i keys
+# (``VoxelHashMap.hpp:25-35`` hashes only for bucketing); an additive int32
+# hash has distant collisions (e.g. coords differing by (-152,-951,-211)
+# collide), and a collision in a membership test deletes a valid map point
+# permanently.  Instead we pack coords relative to a region base:
+# EXACT_EXTENT^3 = 2,146,689,000 < 2^31, so any coord inside a
+# 1290^3-voxel region gets a unique non-negative int32; coords outside get
+# sentinel -1 ("never matches", conservative keep).
+EXACT_EXTENT = 1290
+
+
+def pack_coords(coords: jnp.ndarray, base: jnp.ndarray) -> jnp.ndarray:
+    """Exact int32 key of int32 voxel ``coords`` relative to ``base`` (3,).
+
+    In-region keys are unique in [0, EXACT_EXTENT^3); out-of-region -> -1.
+    The packing is linear, so neighbor offsets are key deltas:
+    +-x -> +-EXACT_EXTENT^2, +-y -> +-EXACT_EXTENT, +-z -> +-1.
+    """
+    rel = coords - base
+    in_range = jnp.all((rel >= 0) & (rel < EXACT_EXTENT), axis=-1)
+    packed = (rel[..., 0] * jnp.int32(EXACT_EXTENT) + rel[..., 1]) * \
+        jnp.int32(EXACT_EXTENT) + rel[..., 2]
+    return jnp.where(in_range, packed, jnp.int32(-1))
+
+
+def region_base_from_center(center_coord: jnp.ndarray) -> jnp.ndarray:
+    """Region base such that ``center_coord`` sits at the region center."""
+    return center_coord - jnp.int32(EXACT_EXTENT // 2)
+
+
 def _lex_order(coords: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     """Stable lexicographic argsort of voxel coords; invalid entries last."""
     n = coords.shape[0]
@@ -97,7 +128,16 @@ def voxel_downsample(pc: PointCloud, voxel_size: float,
     seg_id = jnp.where(valid_s, seg_id, jnp.int32(n + 1))
 
     # Segment boundaries for output slots 0..out_capacity-1 via binary search.
-    slots = jnp.arange(out_capacity, dtype=jnp.int32)
+    # When the unique-voxel count exceeds out_capacity, select a UNIFORM
+    # stride of segments instead of the lexicographic prefix — a prefix
+    # truncation silently drops one spatial side of the cloud (lowest-z
+    # voxels sort first), which starves downstream feature matching; a
+    # stride keeps the subsample spatially unbiased.
+    n_segments = jnp.max(jnp.where(valid_s, seg_id, -1)) + 1
+    idx = jnp.arange(out_capacity, dtype=jnp.int32)
+    stride = n_segments.astype(jnp.float32) / jnp.float32(out_capacity)
+    strided = jnp.floor(idx.astype(jnp.float32) * stride).astype(jnp.int32)
+    slots = jnp.where(n_segments > out_capacity, strided, idx)
     start_pos = jnp.searchsorted(seg_id, slots, side="left")
     end_pos = jnp.searchsorted(seg_id, slots, side="right")
 

@@ -80,6 +80,51 @@ def test_block_sharded_icp_matches_single(rng):
     assert abs(float(res_block.fitness) - float(res_single.fitness)) < 1e-4
 
 
+def test_block_sharded_FUSED_kernel_psum_matches_single(rng):
+    """The fused Pallas kernel's psum branch (registration.py
+    _icp_p2l_fused_batch with axis_name) is what a real multi-chip slice
+    runs; exercise it in interpret mode on the virtual mesh and require
+    agreement with the single-device unfused solver (VERDICT r1 weak #5)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from open3d_slam_tpu.ops import pallas_icp, registration as reg_ops
+
+    mesh = mesh_lib.make_mesh((2, 4))
+    t = ref.make_surface_scan(rng, n=1024, extent=8.0)
+    nrm = ref.plane_normals(t)
+    s = t[rng.choice(1024, 512, replace=False)] + np.array(
+        [0.15, -0.1, 0.05], np.float32)
+    tgt = pclib.from_numpy(t, normals=nrm)
+    grid = hashgrid.build(tgt, cell_size=0.8)
+    scan = pclib.from_numpy(s, capacity=512)
+
+    res_single = reg_ops.icp_point_to_plane(scan, grid, jnp.eye(4), 0.8,
+                                            max_iterations=10)
+
+    valid = grid.hashes_sorted != hashgrid.INT32_MAX
+    t_t, tn_t, tc, tv = pallas_icp.prepare_target(
+        grid.points_sorted, grid.normals_sorted, valid)
+    shards = sharded_icp.split_points_for_blocks(scan, 4)
+
+    def inner(src, t_t, tn_t, tc, tv):
+        pts = src.points[0]
+        maskf = src.mask[0].astype(jnp.float32)[:, None]
+        n_src = jax.lax.psum(jnp.sum(src.mask[0].astype(jnp.float32)), "block")
+        res = reg_ops._icp_p2l_fused_batch(
+            pts[None], maskf, n_src, t_t, tn_t, tc, tv,
+            jnp.eye(4)[None], 0.8, 10, 1e-6, 1e-6,
+            False, "block", 64, 128, interpret=True)
+        return (res.transformation[0], res.fitness[0])
+
+    run = shard_map(inner, mesh=mesh,
+                    in_specs=(P("block"), P(), P(), P(), P()),
+                    out_specs=P(), check_vma=False)
+    T_fused, fit_fused = run(shards, t_t, tn_t, tc, tv)
+    np.testing.assert_allclose(np.asarray(T_fused),
+                               np.asarray(res_single.transformation), atol=1e-3)
+    assert abs(float(fit_fused) - float(res_single.fitness)) < 1e-3
+
+
 @pytest.mark.slow
 def test_multi_start_localization(rng):
     """Global localization without an initial pose (BASELINE config 4)."""

@@ -30,12 +30,48 @@ def test_cropper_min_max_at_pose(rng):
 
 
 def test_cylinder_cropper(rng):
+    """Cylinder: xy radius relative to pose, ABSOLUTE z bounds
+    (croppers.cpp:163-165)."""
     pts = rng.uniform(-3, 3, size=(300, 3)).astype(np.float32)
     pc = pclib.from_numpy(pts)
-    out = croppers.cylinder(1.5, half_height=1.0).crop(pc)
-    r = np.linalg.norm(pts[:, :2], axis=1)
-    ref = pts[(r <= 1.5) & (np.abs(pts[:, 2]) <= 1.0)]
+    center = np.array([0.5, -0.5, 2.0], np.float32)  # z offset must NOT shift z-test
+    out = croppers.cylinder(1.5, min_z=-1.0, max_z=0.5).crop(pc, jnp.asarray(center))
+    r = np.linalg.norm(pts[:, :2] - center[None, :2], axis=1)
+    ref = pts[(r <= 1.5) & (pts[:, 2] >= -1.0) & (pts[:, 2] <= 0.5)]
     assert pclib.to_numpy(out)["points"].shape[0] == ref.shape[0]
+
+
+def test_cropper_from_params_wiring():
+    """Every cropper type constructible from ScanCroppingParameters with all
+    fields wired (croppers.cpp:26-48 factory)."""
+    for name in ("MaxRadius", "MinRadius", "MinMaxRadius", "Cylinder"):
+        c = cfg.ScanCroppingParameters(
+            cropper_name=name, cropping_min_radius=1.0, cropping_max_radius=9.0,
+            cropping_min_z=-2.0, cropping_max_z=3.0)
+        vol = croppers.from_cropper_params(c)
+        pts = np.array([[0.5, 0, 0], [5, 0, 0], [5, 0, 4.0], [20, 0, 0]], np.float32)
+        got = pclib.to_numpy(vol.crop(pclib.from_numpy(pts)))["points"]
+        expected = {
+            "MaxRadius": 3,      # all but the r=20 point
+            "MinRadius": 3,      # all but the r=0.5 point
+            "MinMaxRadius": 2,   # the two r≈5 points
+            "Cylinder": 2,       # r_xy<=9 and z within [-2,3]: first two
+        }[name]
+        assert got.shape[0] == expected, name
+
+
+def test_color_range_cropper(rng):
+    pts = rng.uniform(-1, 1, size=(50, 3)).astype(np.float32)
+    cols = rng.uniform(0, 1, size=(50, 3)).astype(np.float32)
+    pc = pclib.from_numpy(pts, colors=cols)
+    cropper = croppers.ColorRangeCropper(
+        rgb_min=jnp.asarray([0.2, 0.0, 0.0]), rgb_max=jnp.asarray([0.8, 1.0, 1.0]))
+    out = pclib.to_numpy(cropper.crop(pc))
+    keep = (cols[:, 0] >= 0.2) & (cols[:, 0] <= 0.8)
+    assert out["points"].shape[0] == keep.sum()
+    # Colorless cloud passes through (croppers.cpp:188-192).
+    pc2 = pclib.from_numpy(pts)
+    assert pclib.to_numpy(cropper.crop(pc2))["points"].shape[0] == 50
 
 
 def test_motion_compensation_phase():
@@ -131,12 +167,34 @@ def test_dense_map_remove_keys(rng):
     vm = dense_map.empty(256, 1.0)
     pts = np.array([[0.5, 0.5, 0.5], [5.5, 5.5, 5.5]], np.float32)
     vm = dense_map.insert(vm, pclib.from_numpy(pts))
-    from open3d_slam_tpu.ops.voxel import hash_coords, voxel_coords
-    key = hash_coords(voxel_coords(jnp.asarray([[0.5, 0.5, 0.5]]), 1.0))
-    vm = dense_map.remove_keys(vm, jnp.sort(key))
+    from open3d_slam_tpu.ops.voxel import pack_coords, voxel_coords, region_base_from_center
+    base = region_base_from_center(jnp.zeros(3, jnp.int32))
+    key = pack_coords(voxel_coords(jnp.asarray([[0.5, 0.5, 0.5]]), 1.0), base)
+    vm = dense_map.remove_keys(vm, jnp.sort(key), base)
     assert int(vm.num_voxels()) == 1
     out = pclib.to_numpy(dense_map.to_point_cloud(vm))["points"]
     np.testing.assert_allclose(out, [[5.5, 5.5, 5.5]], atol=1e-5)
+
+
+def test_carving_hash_collision_not_carved():
+    """Exact-key regression: voxel coords differing by (-152, -951, -211)
+    collide in the old additive int32 hash (73856093*dx + 19349669*dy +
+    83492791*dz == 0 mod 2^32), which used to carve a valid far-away map
+    point.  With exact packed keys it must be kept."""
+    from open3d_slam_tpu.ops.voxel import hash_coords
+    d = np.array([-152, -951, -211], np.int64)
+    h = (73856093 * d[0] + 19349669 * d[1] + 83492791 * d[2]) % (2**32)
+    assert h == 0  # the collision really exists in the hash family
+    # Ray along +x visits voxels (0..9, 0, 0) at voxel size 1; the collider
+    # voxel (5,0,0) + delta hash-collides with visited voxel (5,0,0).
+    scan = np.array([[10.0, 0.0, 0.0]], np.float32)
+    collider_voxel = np.array([5, 0, 0]) + np.array([-152, -951, -211])
+    map_pts = np.array([collider_voxel + 0.5], np.float32)  # voxel center
+    normals = np.array([[1.0, 0.0, 0.0]], np.float32)
+    keep = carving.carve_mask(
+        pclib.from_numpy(map_pts, normals=normals), pclib.from_numpy(scan),
+        jnp.zeros(3), 1.0, 0.2, 20.0, 0.5, max_steps=32)
+    assert np.asarray(keep)[0], "hash-colliding distant point must survive carving"
 
 
 def test_carving_removes_freespace_points(rng):

@@ -48,7 +48,7 @@ def test_chain_with_perfect_edges_stays_put():
         Te = np.linalg.inv(nodes[i]) @ nodes[i + 1]
         edges.append((i, i + 1, Te, 1.0, False))
     g = make_graph(nodes, edges)
-    X, w = pose_graph.optimize(g, 10.0, 2.0, 0.25, 0, max_iterations=10)
+    X, w, pruned = pose_graph.optimize(g, 10.0, 2.0, 0.25, 0, max_iterations=10)
     X = np.asarray(X)
     for i in range(3):
         np.testing.assert_allclose(X[i], nodes[i], atol=1e-4)
@@ -74,7 +74,7 @@ def test_loop_closure_spreads_drift():
     T_lc = np.linalg.inv(gt[0]) @ gt[n - 1]
     edges.append((0, n - 1, T_lc, 10.0, True))
     g = make_graph(nodes, edges)
-    X, w = pose_graph.optimize(g, 10.0, 2.0, 0.25, 0, max_iterations=30)
+    X, w, pruned = pose_graph.optimize(g, 10.0, 2.0, 0.25, 0, max_iterations=30)
     X = np.asarray(X)
     # End node moved toward ground truth (drift 0.5 -> much smaller).
     err_before = np.linalg.norm(nodes[n - 1][:3, 3] - gt[n - 1][:3, 3])
@@ -96,11 +96,17 @@ def test_bogus_loop_closure_downweighted():
     # Bogus LC: claims node 4 is at the origin (5 m error, tight info).
     edges.append((0, n - 1, rt(0.5, 0.1, 3.0), 100.0, True))
     g = make_graph(nodes, edges)
-    X, w = pose_graph.optimize(g, 0.5, 2.0, 0.25, 0, max_iterations=30)
+    X, w, pruned = pose_graph.optimize(g, 0.5, 2.0, 0.25, 0, max_iterations=30)
     X = np.asarray(X)
     assert float(w[n - 1]) < 0.25  # pruned by line process
+    # Two-stage prune (Open3D GlobalOptimization behavior): the bogus edge is
+    # flagged pruned and has zero weight in the re-optimized graph.
+    assert bool(np.asarray(pruned)[n - 1])
+    assert not np.asarray(pruned)[:n - 1].any()  # odometry edges never pruned
+    assert float(w[n - 1]) == 0.0
     err = np.linalg.norm(X[n - 1][:3, 3] - nodes[n - 1][:3, 3])
-    assert err < 0.5, f"bogus LC dragged the chain by {err}"
+    # Trajectory recovers fully after the pruned re-optimization.
+    assert err < 0.05, f"bogus LC dragged the chain by {err}"
 
 
 def test_information_matrix_shape():

@@ -93,6 +93,9 @@ def test_wrapper_loop_closure_fires():
             n_pillar_count=30))
     p = wrapper_params()
     p.mapper.is_attempt_loop_closures = True
+    # Feature clouds must not saturate: a truncated 0.5 m-voxel cloud starves
+    # FPFH matching (these submaps have ~4-6k feature voxels).
+    p.capacities.feature_cloud = 8192
     p.mapper.submaps.radius = 5.0
     p.mapper.submaps.min_num_range_data = 3
     p.mapper.submaps.min_seconds_between_feature_computation = 0.0
@@ -115,3 +118,77 @@ def test_wrapper_loop_closure_fires():
         "no loop closure found on a closed loop"
     # Pose graph was optimized and applied.
     assert slam.optimization_problem.node_poses_optimized is not None
+
+
+def test_finish_processing_empty_scan_no_duplicates():
+    """forceNewSubmapCreation must insert an EMPTY cloud
+    (SubmapCollection.cpp:163-170): the finished submap's content must not
+    grow, and it must reach the finished/feature queue."""
+    seq = datasets.make_synthetic_sequence(
+        n_scans=6, trajectory="straight", step=0.5, n_points=5000,
+        max_range=25.0,
+        world_cfg=datasets.SyntheticWorldConfig(
+            extent=25.0, n_ground=30000, n_walls=20000, n_pillars=10000))
+    p = wrapper_params()
+    p.mapper.is_attempt_loop_closures = True  # exercise the feature queue
+    slam = SlamWrapper(p)
+    for scan, t in zip(seq.scans, seq.timestamps):
+        slam.process_scan(scan, t)
+    sc = slam.submaps
+    active_before = sc.active_submap_idx
+    pts_before = int(sc.get_submap(active_before).map_cloud.count())
+    scans_before = sc.get_submap(active_before).n_scans_inserted_map
+    slam.finish_processing()
+    finished = sc.get_submap(active_before)
+    # Exactly one (empty) insertion ran on the finished submap...
+    assert finished.n_scans_inserted_map == scans_before + 1
+    # ...and no content was added (revoxelization may merge a few points,
+    # but duplicating a scan would ADD hundreds).
+    pts_after = int(finished.map_cloud.count())
+    assert pts_after <= pts_before, (pts_before, pts_after)
+    # The finished submap entered the feature pipeline (features computed).
+    assert finished.fpfh is not None
+    # A new active submap exists and the switch was recorded.
+    assert sc.active_submap_idx != active_before
+    assert sc.get_num_submaps() >= 2
+
+
+def test_finish_processing_with_empty_overlap_buffer():
+    """finishProcessing must work when the overlap buffer is empty (the
+    old implementation silently no-oped)."""
+    seq = datasets.make_synthetic_sequence(
+        n_scans=2, trajectory="straight", step=0.5, n_points=4000,
+        max_range=25.0,
+        world_cfg=datasets.SyntheticWorldConfig(
+            extent=25.0, n_ground=30000, n_walls=20000, n_pillars=10000))
+    slam = SlamWrapper(wrapper_params())
+    for scan, t in zip(seq.scans, seq.timestamps):
+        slam.process_scan(scan, t)
+    slam.submaps.overlap_scans_buffer.clear()
+    n_before = slam.submaps.get_num_submaps()
+    slam.finish_processing()  # must not raise and must finish the submap
+    assert slam.submaps.get_num_submaps() == n_before + 1
+
+
+def test_colored_scans_reach_dense_map():
+    """Colors ingested via add_range_scan flow through undistortion/cropping
+    into the dense map's per-voxel color means (Voxel.cpp:33-36 analog)."""
+    seq = datasets.make_synthetic_sequence(
+        n_scans=3, trajectory="straight", step=0.5, n_points=4000,
+        max_range=25.0,
+        world_cfg=datasets.SyntheticWorldConfig(
+            extent=25.0, n_ground=30000, n_walls=20000, n_pillars=10000))
+    p = wrapper_params()
+    p.mapper.is_build_dense_map = True
+    slam = SlamWrapper(p)
+    for scan, t in zip(seq.scans, seq.timestamps):
+        # Height-coded colors: red channel = normalized z.
+        z = scan[:, 2]
+        r = (z - z.min()) / max(float(np.ptp(z)), 1e-6)
+        colors = np.stack([r, 0.5 * np.ones_like(r), 1.0 - r], axis=1)
+        slam.process_scan(scan, t, colors=colors.astype(np.float32))
+    dense = slam.get_dense_map_cloud()
+    assert "colors" in dense and dense["colors"].shape == dense["points"].shape
+    # Colors are real data, not zeros: mid-channel mean ~0.5, red varies.
+    assert abs(float(dense["colors"][:, 1].mean()) - 0.5) < 0.05
+    assert float(dense["colors"][:, 0].std()) > 0.05
