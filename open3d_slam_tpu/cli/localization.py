@@ -49,6 +49,8 @@ def pose_from_xyzrpy(x, y, z, roll, pitch, yaw) -> np.ndarray:
 
 
 def main(argv=None) -> int:
+    from open3d_slam_tpu.utils.jaxcache import enable_persistent_cache
+    enable_persistent_cache()
     args = build_parser().parse_args(argv)
     params = cfg.load_parameters_from_file(args.param) if args.param else cfg.SlamParameters()
     params.mapper.is_use_initial_map = True

@@ -13,15 +13,16 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 from typing import Optional
 
 import numpy as np
 
-from open3d_slam_tpu.io import datasets
+from open3d_slam_tpu.io import datasets, lidar_sim
 from open3d_slam_tpu.models.slam_wrapper import SlamWrapper
-from open3d_slam_tpu.utils import config as cfg
+from open3d_slam_tpu.utils import config as cfg, evaluation
 
 SKIP_FIRST_N_POINT_CLOUDS = 5  # magic.hpp:15, DataProcessorRos.cpp:34-41
 
@@ -31,6 +32,14 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--sequence", help="folder of scan_*.npz (io.datasets format)")
     ap.add_argument("--synthetic", type=int, default=0,
                     help="generate and run an N-scan synthetic circle sequence")
+    ap.add_argument("--sim", metavar="NAME",
+                    help="run a named spinning-beam simulated benchmark "
+                         "sequence (io.lidar_sim.BENCHMARK_SEQUENCES; "
+                         "'list' to enumerate)")
+    ap.add_argument("--undistort", action="store_true",
+                    help="enable constant-velocity motion compensation")
+    ap.add_argument("--eval-json", metavar="PATH",
+                    help="write ATE/RPE/RTF metrics as JSON")
     ap.add_argument("--param", help="YAML/JSON parameter override file")
     ap.add_argument("--save-folder", default="./o3d_slam_out")
     ap.add_argument("--save-map", action="store_true")
@@ -44,8 +53,15 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def load_params(param_file: Optional[str]) -> cfg.SlamParameters:
+    """Load a parameter file; with none given, the packaged layered defaults
+    (``configs/default.yaml`` — mirror of the reference's Lua defaults that
+    every launch file loads) apply, falling back to the bare struct defaults
+    only if the file is missing."""
     if param_file:
         return cfg.load_parameters_from_file(param_file)
+    default = cfg.config_path("default.yaml")
+    if os.path.exists(default):
+        return cfg.load_parameters_from_file(default)
     return cfg.SlamParameters()
 
 
@@ -91,7 +107,26 @@ def run_sequence(slam: SlamWrapper, seq: datasets.SyntheticSequence,
 
 
 def main(argv=None) -> int:
+    from open3d_slam_tpu.utils.jaxcache import enable_persistent_cache
+    enable_persistent_cache()
     args = build_parser().parse_args(argv)
+
+    seq_name = "sequence"
+    if args.sim:
+        if args.sim == "list" or args.sim not in lidar_sim.BENCHMARK_SEQUENCES:
+            print("available --sim sequences:",
+                  ", ".join(sorted(lidar_sim.BENCHMARK_SEQUENCES)))
+            return 0 if args.sim == "list" else 2
+        spec = lidar_sim.BENCHMARK_SEQUENCES[args.sim]
+        if args.param is None:   # each sim sequence names its sensor config
+            args.param = cfg.config_path(spec.param_file)
+            print("using sensor config", args.param)
+        print(f"rendering simulated sequence {spec.name} "
+              f"({spec.sensor}, {spec.world}, {spec.trajectory}, "
+              f"{spec.n_scans} scans)...")
+        seq = lidar_sim.make_sim_sequence(spec)
+        seq_name = spec.name
+
     params = load_params(args.param)
     if args.save_map:
         params.saving.is_save_map = True
@@ -100,21 +135,28 @@ def main(argv=None) -> int:
     if args.save_dense_submaps:
         params.saving.is_save_dense_submaps = True
 
-    if args.synthetic:
+    if args.undistort:
+        params.motion_compensation.is_undistort_input_cloud = True
+
+    if args.sim:
+        pass
+    elif args.synthetic:
         seq = datasets.make_synthetic_sequence(
             n_scans=args.synthetic, trajectory="circle",
             radius=12.0, angle_total=2 * np.pi * 1.05)
+        seq_name = f"synthetic_circle_{args.synthetic}"
     elif args.sequence:
         seq = datasets.load_sequence(args.sequence)
+        seq_name = args.sequence.rstrip("/").split("/")[-1]
     else:
-        print("need --sequence or --synthetic", file=sys.stderr)
+        print("need --sequence, --sim, or --synthetic", file=sys.stderr)
         return 2
 
     slam = SlamWrapper(params)
     slam.folder_path = args.save_folder
-    run_sequence(slam, seq,
-                 num_accumulated=args.num_accumulated_range_data,
-                 skip_first=0 if args.no_skip_first else SKIP_FIRST_N_POINT_CLOUDS)
+    rtf = run_sequence(slam, seq,
+                       num_accumulated=args.num_accumulated_range_data,
+                       skip_first=0 if args.no_skip_first else SKIP_FIRST_N_POINT_CLOUDS)
 
     if params.saving.is_save_map or params.saving.is_save_at_mission_end:
         print("saved map to", slam.save_map())
@@ -125,14 +167,28 @@ def main(argv=None) -> int:
 
     if seq.ground_truth:
         times, poses = slam.get_trajectory()
-        n = min(len(poses), len(seq.ground_truth))
-        if n > 1:
-            T0g, T0e = seq.ground_truth[0], poses[0]
-            errs = [np.linalg.norm(
-                (np.linalg.inv(T0g) @ seq.ground_truth[i])[:3, 3] -
-                (np.linalg.inv(T0e) @ poses[i])[:3, 3]) for i in range(n)]
-            print(f"ATE vs ground truth: mean {np.mean(errs):.3f} m, "
-                  f"max {np.max(errs):.3f} m over {n} poses")
+        if len(poses) > 2:
+            ate_res, rpe_res = evaluation.evaluate_trajectory(
+                seq.ground_truth, poses,
+                gt_times=seq.timestamps, est_times=times, rpe_delta=10)
+            print(ate_res)
+            print(rpe_res)
+            if args.eval_json:
+                import json
+                with open(args.eval_json, "w") as f:
+                    json.dump({
+                        "sequence": seq_name,
+                        "n_scans": len(seq.scans),
+                        "n_poses": ate_res.n,
+                        "ate_rmse_m": round(ate_res.rmse, 4),
+                        "ate_mean_m": round(ate_res.mean, 4),
+                        "ate_max_m": round(ate_res.max, 4),
+                        "rpe_trans_rmse_m": round(rpe_res.trans_rmse, 4),
+                        "rpe_rot_rmse_deg": round(rpe_res.rot_rmse_deg, 4),
+                        "drift_pct": round(rpe_res.drift_pct, 3),
+                        "rtf": round(rtf, 3),
+                    }, f)
+                print("wrote", args.eval_json)
     return 0
 
 

@@ -18,8 +18,16 @@ from __future__ import annotations
 import dataclasses
 import json
 import math
+import os
 from dataclasses import dataclass, field
 from typing import Any, Dict, Optional
+
+
+def config_path(name: str) -> str:
+    """Absolute path of a packaged config file in the repo's ``configs/``
+    directory (the analog of the reference's ``param/`` folder)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    return os.path.normpath(os.path.join(here, "..", "..", "configs", name))
 
 DEG2RAD = math.pi / 180.0
 

@@ -50,7 +50,7 @@ def test_mapping_cli_end_to_end(seq_dir, tmp_path, capsys):
         "--no-skip-first"])
     assert rc == 0
     out = capsys.readouterr().out
-    assert "ATE vs ground truth" in out
+    assert "ATE rmse" in out
     assert "realtime" in out
     map_path = tmp_path / "out" / "map.pcd"
     assert map_path.exists()
@@ -58,7 +58,7 @@ def test_mapping_cli_end_to_end(seq_dir, tmp_path, capsys):
     assert data["points"].shape[0] > 500
     # ATE printed must be small
     import re
-    m = re.search(r"ATE vs ground truth: mean ([0-9.]+) m", out)
+    m = re.search(r"ATE rmse ([0-9.]+) m", out)
     assert m and float(m.group(1)) < 0.2
 
 
