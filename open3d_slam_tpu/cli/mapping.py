@@ -165,6 +165,7 @@ def main(argv=None) -> int:
     if params.saving.is_save_dense_submaps:
         slam.dump_submaps("dense_submap", dense=True)
 
+    metrics = None
     if seq.ground_truth:
         times, poses = slam.get_trajectory()
         if len(poses) > 2:
@@ -173,22 +174,36 @@ def main(argv=None) -> int:
                 gt_times=seq.timestamps, est_times=times, rpe_delta=10)
             print(ate_res)
             print(rpe_res)
-            if args.eval_json:
-                import json
-                with open(args.eval_json, "w") as f:
-                    json.dump({
-                        "sequence": seq_name,
-                        "n_scans": len(seq.scans),
-                        "n_poses": ate_res.n,
-                        "ate_rmse_m": round(ate_res.rmse, 4),
-                        "ate_mean_m": round(ate_res.mean, 4),
-                        "ate_max_m": round(ate_res.max, 4),
-                        "rpe_trans_rmse_m": round(rpe_res.trans_rmse, 4),
-                        "rpe_rot_rmse_deg": round(rpe_res.rot_rmse_deg, 4),
-                        "drift_pct": round(rpe_res.drift_pct, 3),
-                        "rtf": round(rtf, 3),
-                    }, f)
-                print("wrote", args.eval_json)
+            metrics = {
+                "sequence": seq_name,
+                "n_scans": len(seq.scans),
+                "n_poses": ate_res.n,
+                "ate_rmse_m": round(ate_res.rmse, 4),
+                "ate_mean_m": round(ate_res.mean, 4),
+                "ate_max_m": round(ate_res.max, 4),
+                "rpe_trans_rmse_m": round(rpe_res.trans_rmse, 4),
+                "rpe_rot_rmse_deg": round(rpe_res.rot_rmse_deg, 4),
+                "drift_pct": round(rpe_res.drift_pct, 3),
+                "rtf": round(rtf, 3),
+            }
+    if args.eval_json:
+        import json
+        if metrics is None:
+            # Never leave a requested artifact missing/stale: write an
+            # explicit error stub and fail loudly so benchmark harnesses
+            # cannot read a previous run's file while this run exits 0.
+            reason = ("no ground truth in sequence" if not seq.ground_truth
+                      else "fewer than 3 estimated poses")
+            print(f"WARNING: --eval-json requested but metrics unavailable "
+                  f"({reason})", file=sys.stderr)
+            metrics = {"sequence": seq_name, "error": reason,
+                       "rtf": round(rtf, 3)}
+            with open(args.eval_json, "w") as f:
+                json.dump(metrics, f)
+            return 1
+        with open(args.eval_json, "w") as f:
+            json.dump(metrics, f)
+        print("wrote", args.eval_json)
     return 0
 
 

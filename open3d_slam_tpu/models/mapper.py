@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -30,12 +31,13 @@ class Mapper:
                  odom_to_range_sensor_buffer: TransformInterpolationBuffer,
                  submaps: SubmapCollection,
                  processed_capacity: int = 16384,
+                 patch_capacity: int = 65536,
                  buffer_size_limit: int = 2000):
         self.params = params
         self.odom_to_range_sensor_buffer = odom_to_range_sensor_buffer
         self.submaps = submaps
         self.scan_to_map_reg: ScanToMapIcp = scan_to_map_registration_factory(
-            params, processed_capacity)
+            params, processed_capacity, patch_capacity)
         self.map_to_range_sensor = np.eye(4)
         self.map_to_range_sensor_prev = np.eye(4)
         self.map_to_range_sensor_last_scan_insertion = np.eye(4)
@@ -131,13 +133,15 @@ class Mapper:
             self.is_ignore_odometry_prediction = True
             return True
 
-        fitness = float(result.fitness)
+        # ONE device->host transfer for all result scalars.
+        fitness, result_T = jax.device_get((result.fitness, result.transformation))
+        fitness = float(fitness)
         if (not p.is_ignore_min_refinement_fitness and
                 fitness < p.scan_matcher.min_refinement_fitness):
             print(f"Skipping the refinement step, fitness: {fitness:.3f}")
             return False
 
-        self.map_to_range_sensor = np.asarray(result.transformation, np.float64)
+        self.map_to_range_sensor = np.asarray(result_T, np.float64)
         self.map_to_range_sensor_buffer.push(timestamp, self.map_to_range_sensor)
         self.submaps.set_map_to_range_sensor(self.map_to_range_sensor)
 

@@ -48,7 +48,13 @@ class LidarOdometry:
     # ------------------------------------------------------------------
 
     def preprocess(self, cloud: PointCloud) -> PointCloud:
-        """Crop -> voxelize -> normals -> random downsample (``Odometry.cpp:25-30``)."""
+        """Crop -> voxelize -> normals -> random downsample (``Odometry.cpp:25-30``).
+
+        The downsampled cloud is COMPACTED to the smallest tileable capacity
+        holding ``n_keep`` points: every downstream device program (grid
+        build, fused ICP sweeps) then scales with the real matching-cloud
+        size instead of the pre-downsample capacity."""
+        from open3d_slam_tpu.utils import pointcloud as pclib
         sp = self.params.scan_processing
         cropped = self.cropper.crop(cloud)
         down = voxel.voxel_downsample(cropped, sp.voxel_size,
@@ -59,6 +65,7 @@ class LidarOdometry:
             self._rng_key, sub = jax.random.split(self._rng_key)
             n_keep = int(round(self.processed_capacity * ratio))
             down = voxel.random_downsample(down, n_keep, sub)
+            down = pclib.compact_to(down, pclib.padded_capacity(n_keep))
         return down
 
     # ------------------------------------------------------------------
@@ -80,15 +87,19 @@ class LidarOdometry:
         prepared = self.registration.prepare_target(processed)
         # Register PREV (source) against NEW (target), init = identity.
         result = self.registration.register(self.prev.cloud, prepared, jnp.eye(4))
-        fitness = float(result.fitness)
+        # ONE device->host transfer for all result scalars (each separate
+        # pull pays a full tunnel round-trip).
+        fitness, rmse, T = jax.device_get(
+            (result.fitness, result.inlier_rmse, result.transformation))
+        fitness = float(fitness)
         is_odom_okay = fitness > 0.1  # magic gate, Odometry.cpp:51
         if not is_odom_okay:
             print(f"Odometry failed! fitness={fitness:.3f} "
-                  f"rmse={float(result.inlier_rmse):.3f}")
+                  f"rmse={float(rmse):.3f}")
             self.prev = prepared
             return False
 
-        T = np.asarray(result.transformation, np.float64)
+        T = np.asarray(T, np.float64)
         if self._initial_transform is not None:
             self.odom_to_range_sensor_cumulative = self._initial_transform.copy()
             self._initial_transform = None

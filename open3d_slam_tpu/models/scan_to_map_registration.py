@@ -37,9 +37,11 @@ class ProcessedScans(NamedTuple):
 
 
 class ScanToMapIcp:
-    def __init__(self, params: MapperParameters, processed_capacity: int = 16384):
+    def __init__(self, params: MapperParameters, processed_capacity: int = 16384,
+                 patch_capacity: int = 65536):
         self.params = params
         self.processed_capacity = processed_capacity
+        self.patch_capacity = patch_capacity
         # toCloudRegistrationType (ScanToMapRegistration.cpp:91-128).
         cr = CloudRegistrationParameters(
             reg_type=params.scan_matcher.scan_to_map_reg_type,
@@ -50,7 +52,11 @@ class ScanToMapIcp:
         self._rng_key = jax.random.PRNGKey(1)
 
     def preprocess(self, cloud: PointCloud) -> PointCloud:
-        """``ScanToMapIcp::preprocess`` (``ScanToMapRegistration.cpp:35-41``)."""
+        """``ScanToMapIcp::preprocess`` (``ScanToMapRegistration.cpp:35-41``).
+
+        Compacted after the random downsample (see LidarOdometry.preprocess)
+        so the match/merge clouds carry the real point count's capacity."""
+        from open3d_slam_tpu.utils import pointcloud as pclib
         sp = self.params.scan_processing
         cropped = self.map_builder_cropper.crop(cloud)
         down = voxel.voxel_downsample(cropped, sp.voxel_size,
@@ -60,6 +66,7 @@ class ScanToMapIcp:
             self._rng_key, sub = jax.random.split(self._rng_key)
             n_keep = int(round(self.processed_capacity * sp.down_sampling_ratio))
             down = voxel.random_downsample(down, n_keep, sub)
+            down = pclib.compact_to(down, pclib.padded_capacity(n_keep))
         return down
 
     def process_for_scan_matching_and_merging(self, cloud: PointCloud,
@@ -73,11 +80,19 @@ class ScanToMapIcp:
                                  map_to_range_sensor: np.ndarray,
                                  initial_guess: np.ndarray) -> reg_ops.RegistrationResult:
         """(``ScanToMapRegistration.cpp:55-62``): crop map patch at current
-        pose, register scan against it."""
+        pose, register scan against it.
+
+        Like the reference — which builds the ICP KD-tree over the CROPPED
+        patch, not the whole submap — the patch is compacted to
+        ``patch_capacity`` before the target grid/covariances are built, so
+        every ICP sweep scales with the patch size rather than the submap
+        capacity.  Overflow keeps a uniform stride of patch points."""
+        from open3d_slam_tpu.utils import pointcloud as pclib
         pose_t = jnp.asarray(map_to_range_sensor, jnp.float32)[:3, 3]
         patch = active_submap.map_cloud.with_(
             mask=active_submap.map_cloud.mask &
             self.scan_matcher_cropper.is_inside(active_submap.map_cloud.points, pose_t))
+        patch = pclib.compact_to(patch, self.patch_capacity)
         prepared = self.registration.prepare_target(patch)
         return self.registration.register(
             scan, prepared, jnp.asarray(initial_guess, jnp.float32))
@@ -95,5 +110,6 @@ class ScanToMapIcp:
 
 
 def scan_to_map_registration_factory(params: MapperParameters,
-                                     processed_capacity: int = 16384) -> ScanToMapIcp:
-    return ScanToMapIcp(params, processed_capacity)
+                                     processed_capacity: int = 16384,
+                                     patch_capacity: int = 65536) -> ScanToMapIcp:
+    return ScanToMapIcp(params, processed_capacity, patch_capacity)

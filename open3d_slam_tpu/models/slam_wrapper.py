@@ -64,7 +64,8 @@ class SlamWrapper:
             dense_capacity=cap.dense_submap_voxels,
             feature_capacity=cap.feature_cloud)
         self.mapper = Mapper(p.mapper, self.odometry.odom_buffer, self.submaps,
-                             processed_capacity=cap.processed_scan)
+                             processed_capacity=cap.processed_scan,
+                             patch_capacity=cap.map_patch)
         self.optimization_problem = OptimizationProblem(
             p.mapper, max_nodes=cap.max_submaps, max_edges=cap.max_constraints)
         self.place_recognition = PlaceRecognition(p.mapper)

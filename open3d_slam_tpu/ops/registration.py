@@ -29,7 +29,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from open3d_slam_tpu.ops import hashgrid, pallas_icp
+from open3d_slam_tpu.ops import hashgrid, pallas_gicp, pallas_icp
 from open3d_slam_tpu.ops.hashgrid import HashGrid
 from open3d_slam_tpu.utils import se3
 from open3d_slam_tpu.utils.pointcloud import PointCloud
@@ -185,6 +185,59 @@ def _icp_p2l_fused_batch(points, maskf, n_src, t_t, tn_t, tc, tv,
             dT = se3.se3_exp(delta)
         else:
             dT = _euler_xyz_transform(delta)
+        T_new = jnp.where(done[:, None, None], T, dT @ T)
+        JtJn, Jtrn, fitn, rmsen = stats_eq(T_new)
+        conv = (jnp.abs(fit - fitn) < relative_fitness) & \
+            (jnp.abs(rmse - rmsen) < relative_rmse)
+        it = it + (~done).astype(jnp.int32)
+        return T_new, JtJn, Jtrn, fitn, rmsen, it, itg + 1, done | conv
+
+    T, _, _, fit, rmse, it, _, _ = jax.lax.while_loop(
+        cond, body, (inits, JtJ0, Jtr0, fit0, rmse0, it0, jnp.int32(0), done0))
+    return RegistrationResult(transformation=T, fitness=fit, inlier_rmse=rmse,
+                              num_iterations=it)
+
+
+def _icp_gicp_fused_batch(points, maskf, n_src, qcov6, td, tv,
+                          inits, max_dist, max_iterations,
+                          relative_fitness, relative_rmse, axis_name,
+                          block_m, block_n, interpret=False):
+    """Batched GICP GN loop around the fused Pallas kernel.
+
+    Same loop semantics as ``_icp_p2l_fused_batch`` (step from stats at T,
+    re-evaluate at T_new, Open3D convergence criteria, converged elements
+    freeze), with the GICP ingredients: per-iteration source-covariance
+    rotation ``R C_p R^T`` happens OUTSIDE the kernel (O(M) XLA einsum),
+    the NN search + Mahalanobis normal equations inside.
+    """
+    r2 = jnp.asarray(max_dist, jnp.float32).reshape(1, 1) ** 2
+    bsz = inits.shape[0]
+
+    def stats_eq(T):
+        pts = se3.transform_points(T, points)
+        qc = pallas_gicp.rotate_cov6(T[..., :3, :3], qcov6)
+        out = pallas_gicp.gicp_normal_eq(pts, maskf, qc, td, tv, r2,
+                                         block_m=block_m, block_n=block_n,
+                                         interpret=interpret)
+        if axis_name is not None:
+            out = jax.lax.psum(out, axis_name)
+        JtJ, Jtr, n_in, d2s = pallas_icp.unpack(out)
+        fit = n_in / jnp.clip(n_src, 1.0, None)
+        rmse = jnp.sqrt(d2s / jnp.clip(n_in, 1.0, None))
+        return JtJ, Jtr, fit, rmse
+
+    JtJ0, Jtr0, fit0, rmse0 = stats_eq(inits)
+    it0 = jnp.zeros((bsz,), jnp.int32)
+    done0 = jnp.zeros((bsz,), bool)
+
+    def cond(carry):
+        T, JtJ, Jtr, fit, rmse, it, itg, done = carry
+        return jnp.any(~done) & (itg < max_iterations)
+
+    def body(carry):
+        T, JtJ, Jtr, fit, rmse, it, itg, done = carry
+        delta = jax.vmap(_solve6)(JtJ, Jtr)
+        dT = se3.se3_exp(delta)          # GICP uses the exp retraction
         T_new = jnp.where(done[:, None, None], T, dT @ T)
         JtJn, Jtrn, fitn, rmsen = stats_eq(T_new)
         conv = (jnp.abs(fit - fitn) < relative_fitness) & \
@@ -372,7 +425,28 @@ def icp_generalized(source: PointCloud, source_covs: jnp.ndarray,
                     nn_method: str = "auto") -> RegistrationResult:
     """Generalized (plane-to-plane) ICP, as ``RegistrationGeneralizedICP``
     (``CloudRegistration.cpp:16-30``).  ``target_covs_sorted`` must be in the
-    grid's sorted order."""
+    grid's sorted order.
+
+    On TPU with tileable capacities this dispatches to the fused Pallas
+    kernel (``ops/pallas_gicp.py``) — the production hot path for the
+    deployed default configs."""
+    if nn_method in ("auto", "fused") and jax.default_backend() == "tpu":
+        bm, bn = _fused_blocks(source.capacity, target_grid.capacity)
+        if bm is not None and bn is not None:
+            valid = target_grid.hashes_sorted != hashgrid.INT32_MAX
+            td, tv = pallas_gicp.prepare_target(
+                target_grid.points_sorted, target_covs_sorted, valid)
+            maskf = source.mask.astype(jnp.float32)[:, None]
+            qcov6 = pallas_gicp.cov6_from_full(source_covs)
+            n_src = jnp.sum(source.mask.astype(jnp.float32))
+            res = _icp_gicp_fused_batch(
+                source.points[None], maskf, n_src, qcov6[None], td, tv,
+                init[None], max_correspondence_distance, max_iterations,
+                relative_fitness, relative_rmse, None, bm, bn)
+            return RegistrationResult(
+                transformation=res.transformation[0], fitness=res.fitness[0],
+                inlier_rmse=res.inlier_rmse[0],
+                num_iterations=res.num_iterations[0])
     max_dist = jnp.asarray(max_correspondence_distance, jnp.float32)
 
     def corr_stats(T):

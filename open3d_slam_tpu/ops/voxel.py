@@ -94,6 +94,35 @@ def _lex_order(coords: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     return order
 
 
+def _order_by_coords(coords: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Group-identical-voxels argsort: ONE packed-key sort when the valid
+    coord span fits the exact-pack region (always true for crop-bounded
+    scans/submaps), the 4-pass stable lexicographic sort otherwise (e.g.
+    whole-trajectory visualization clouds).  Sorting dominates the voxel
+    pipeline on TPU, so the single-key path is ~4x cheaper.
+
+    Stable within equal keys (original order preserved); invalid entries
+    sort last.  NOTE: the two branches produce different (but each
+    deterministic) voxel orders — (x,y,z)-lex vs (z,y,x)-lex; downstream
+    only relies on identical voxels being contiguous.
+    """
+    big = jnp.int32(INT32_MAX)
+    cmin = jnp.min(jnp.where(valid[:, None], coords, big), axis=0)
+    span_ok = jnp.all(
+        jnp.max(jnp.where(valid[:, None], coords - cmin, 0), axis=0)
+        < EXACT_EXTENT) & jnp.any(valid)
+
+    def packed(_):
+        key = pack_coords(coords, cmin)        # unique for in-region coords
+        key = jnp.where(valid, key, big)
+        return jnp.argsort(key, stable=True).astype(jnp.int32)
+
+    def lex(_):
+        return _lex_order(coords, valid).astype(jnp.int32)
+
+    return jax.lax.cond(span_ok, packed, lex, None)
+
+
 def _segment_starts(coords_sorted: jnp.ndarray, valid_sorted: jnp.ndarray) -> jnp.ndarray:
     """Boolean start-of-segment flags over lexicographically sorted coords."""
     prev = jnp.roll(coords_sorted, 1, axis=0)
@@ -118,7 +147,7 @@ def voxel_downsample(pc: PointCloud, voxel_size: float,
     n = pc.capacity
     out_capacity = out_capacity or n
     coords = voxel_coords(pc.points, voxel_size)
-    order = _lex_order(coords, pc.mask)
+    order = _order_by_coords(coords, pc.mask)
     coords_s = coords[order]
     valid_s = pc.mask[order]
     starts = _segment_starts(coords_s, valid_s)
@@ -172,7 +201,7 @@ def remove_duplicate_points_in_voxels(pc: PointCloud, voxel_size: float) -> Poin
     (``Voxel.cpp:162-191``).  Mask-only operation (no compaction).
     """
     coords = voxel_coords(pc.points, voxel_size)
-    order = _lex_order(coords, pc.mask)
+    order = _order_by_coords(coords, pc.mask)
     coords_s = coords[order]
     valid_s = pc.mask[order]
     starts = _segment_starts(coords_s, valid_s)

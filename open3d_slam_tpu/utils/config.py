@@ -24,9 +24,20 @@ from typing import Any, Dict, Optional
 
 
 def config_path(name: str) -> str:
-    """Absolute path of a packaged config file in the repo's ``configs/``
-    directory (the analog of the reference's ``param/`` folder)."""
+    """Absolute path of a packaged config file (the analog of the
+    reference's ``param/`` folder).  Search order:
+      1. ``$O3D_SLAM_CONFIG_DIR`` (explicit override / installed layouts),
+      2. ``open3d_slam_tpu/configs/`` (package data, if shipped),
+      3. ``<repo>/configs/`` (source checkout).
+    Returns the source-checkout path even if absent so callers get a clear
+    FileNotFoundError naming the expected location."""
+    env = os.environ.get("O3D_SLAM_CONFIG_DIR")
+    if env:
+        return os.path.join(env, name)
     here = os.path.dirname(os.path.abspath(__file__))
+    pkg = os.path.normpath(os.path.join(here, "..", "configs", name))
+    if os.path.exists(pkg):
+        return pkg
     return os.path.normpath(os.path.join(here, "..", "..", "configs", name))
 
 DEG2RAD = math.pi / 180.0

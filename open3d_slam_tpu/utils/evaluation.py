@@ -24,14 +24,19 @@ import numpy as np
 def associate(times_a: Sequence[float], times_b: Sequence[float],
               max_dt: float = 0.05) -> List[Tuple[int, int]]:
     """Match each time in ``a`` to the nearest time in ``b`` within ``max_dt``
-    (greedy, monotone; both lists assumed sorted)."""
+    (greedy, monotone, ONE-TO-ONE; both lists assumed sorted).  A matched
+    ``b`` index is consumed so a denser estimate trajectory cannot map many
+    poses onto one ground-truth pose (which would bias ATE/RPE)."""
     out, j = [], 0
     tb = list(times_b)
     for i, t in enumerate(times_a):
         while j + 1 < len(tb) and abs(tb[j + 1] - t) <= abs(tb[j] - t):
             j += 1
-        if tb and abs(tb[j] - t) <= max_dt:
+        if j < len(tb) and abs(tb[j] - t) <= max_dt:
             out.append((i, j))
+            j += 1            # consume: enforce one-to-one matching
+            if j >= len(tb):
+                break
     return out
 
 
@@ -87,6 +92,8 @@ def ate(gt_poses: Sequence[np.ndarray], est_poses: Sequence[np.ndarray],
         align: bool = True) -> AteResult:
     """Absolute trajectory error after (optional) rigid alignment."""
     n = min(len(gt_poses), len(est_poses))
+    if n == 0:
+        return AteResult(rmse=0.0, mean=0.0, median=0.0, max=0.0, n=0)
     gt_t = np.stack([np.asarray(T)[:3, 3] for T in gt_poses[:n]])
     es_t = np.stack([np.asarray(T)[:3, 3] for T in est_poses[:n]])
     if align and n >= 3:

@@ -9,6 +9,7 @@ via gather, it never changes array shapes inside jit.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
@@ -114,6 +115,38 @@ def compact(pc: PointCloud) -> PointCloud:
         normals=_take(pc.normals),
         colors=_take(pc.colors),
     )
+
+
+def padded_capacity(n: int, multiple: int = 256) -> int:
+    """Smallest multiple of ``multiple`` >= n (static-shape capacity pick;
+    256 is the largest fused-kernel query block, see pallas_icp.supports)."""
+    return max(multiple, ((n + multiple - 1) // multiple) * multiple)
+
+
+@functools.partial(jax.jit, static_argnames=("out_capacity",))
+def compact_to(pc: PointCloud, out_capacity: int) -> PointCloud:
+    """Gather valid points into a NEW capacity, valid-first, stable order.
+
+    O(N) cumsum + searchsorted + gather (no argsort).  If the valid count
+    exceeds ``out_capacity``, a UNIFORM STRIDE of the valid points is kept
+    (spatially unbiased, same policy as voxel_downsample overflow) — callers
+    should size capacity so this is rare.
+    """
+    ranks = jnp.cumsum(pc.mask.astype(jnp.int32))          # (N,) 1-based
+    total = ranks[-1]
+    idx = jnp.arange(out_capacity, dtype=jnp.int32)
+    stride = total.astype(jnp.float32) / jnp.float32(out_capacity)
+    strided = jnp.floor(idx.astype(jnp.float32) * stride).astype(jnp.int32)
+    want = jnp.where(total > out_capacity, strided, idx) + 1   # 1-based rank
+    pos = jnp.clip(jnp.searchsorted(ranks, want, side="left"),
+                   0, pc.capacity - 1)
+    mask = idx < jnp.minimum(total, out_capacity)
+
+    def take(a):
+        return None if a is None else a[pos]
+
+    return PointCloud(points=take(pc.points), mask=mask,
+                      normals=take(pc.normals), colors=take(pc.colors))
 
 
 def concat(a: PointCloud, b: PointCloud, capacity: int) -> PointCloud:
