@@ -401,14 +401,29 @@ class SimSequenceSpec:
     param_file: str = "velodyne_puck16.yaml"  # default sensor config (configs/)
 
 
+_MAX_DEFAULT_SPEED = 3.5  # m/s — walking-robot class; see BENCHMARK_SEQUENCES
+
+
 def _build_trajectory(spec: SimSequenceSpec) -> Trajectory:
+    """Trajectory for a spec.  Default period covers ~1.05 revolutions over
+    the sequence — the loop-closure design of the long named sequences —
+    but is FLOORED so the default platform speed never exceeds
+    ``_MAX_DEFAULT_SPEED``: a short ad-hoc spec (e.g. a 40-scan bench
+    render) would otherwise get a physically absurd 20+ m/s robot whose
+    inter-scan motion exceeds every ICP correspondence radius, producing
+    fitness-0.000 "dropouts" that look like pipeline bugs.  Explicit
+    ``traj_kwargs['period']`` always wins."""
     dur = spec.n_scans / spec.rate_hz
     if spec.trajectory == "circle":
-        kw = dict(radius=14.0, period=dur / 1.05, z=1.2)   # ~1.05 revolutions
+        radius = spec.traj_kwargs.get("radius", 14.0)
+        min_period = 2 * np.pi * radius / _MAX_DEFAULT_SPEED
+        kw = dict(radius=radius, period=max(dur / 1.05, min_period), z=1.2)
         kw.update(spec.traj_kwargs)
         return CircleTrajectory(**kw)
     if spec.trajectory == "figure8":
-        kw = dict(a=16.0, period=dur / 1.02, z=1.2)
+        a = spec.traj_kwargs.get("a", 16.0)
+        min_period = 6.1 * a / _MAX_DEFAULT_SPEED   # lemniscate length ~6.1a
+        kw = dict(a=a, period=max(dur / 1.02, min_period), z=1.2)
         kw.update(spec.traj_kwargs)
         return LemniscateTrajectory(**kw)
     if spec.trajectory == "straight":
@@ -432,10 +447,45 @@ def _build_world(spec: SimSequenceSpec, traj: Trajectory) -> PrimitiveWorld:
     raise ValueError(spec.world)
 
 
+def _spec_cache_key(spec: SimSequenceSpec, spin_clockwise: bool) -> str:
+    import hashlib
+    blob = repr((dataclasses.astuple(spec), spin_clockwise, "v2"))
+    return f"{spec.name}_{hashlib.sha1(blob.encode()).hexdigest()[:12]}"
+
+
 def make_sim_sequence(spec: SimSequenceSpec,
-                      spin_clockwise: bool = True) -> SyntheticSequence:
+                      spin_clockwise: bool = True,
+                      cache_dir: Optional[str] = None) -> SyntheticSequence:
     """Render a full simulated dataset: raw distorted scans + ground-truth
-    poses at each sweep START (the reference's phase-0 stamp convention)."""
+    poses at each sweep START (the reference's phase-0 stamp convention).
+
+    Rendering a long sequence costs minutes of host CPU; rendered sequences
+    are cached on disk (``cache_dir``, default ``$O3D_SIM_CACHE`` or
+    ``~/.cache/o3d_slam_tpu_sim``) keyed by the full spec, so benchmark and
+    evaluation reruns skip the render.  Pass ``cache_dir=""`` to disable.
+    """
+    import os
+    if cache_dir is None:
+        cache_dir = os.environ.get(
+            "O3D_SIM_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "o3d_slam_tpu_sim"))
+    cache_path = None
+    if cache_dir:
+        cache_path = os.path.join(
+            cache_dir, _spec_cache_key(spec, spin_clockwise) + ".npz")
+        if os.path.exists(cache_path):
+            try:
+                z = np.load(cache_path)
+                offs = z["offsets"]
+                pts = z["points"]
+                scans = [pts[offs[i]:offs[i + 1]] for i in range(len(offs) - 1)]
+                gt = [z["gt"][i] for i in range(z["gt"].shape[0])]
+                return SyntheticSequence(scans=scans,
+                                         timestamps=list(z["ts"]),
+                                         ground_truth=gt)
+            except Exception as e:   # corrupt cache -> re-render
+                print(f"[lidar_sim] cache read failed ({e}); re-rendering")
+
     traj = _build_trajectory(spec)
     world = _build_world(spec, traj)
     beam = SENSORS[spec.sensor]
@@ -449,7 +499,19 @@ def make_sim_sequence(spec: SimSequenceSpec,
                                   spin_clockwise=spin_clockwise, rng=rng))
         ts.append(t0)
         gt.append(traj.pose(t0))
-    return SyntheticSequence(scans=scans, timestamps=ts, ground_truth=gt)
+    seq = SyntheticSequence(scans=scans, timestamps=ts, ground_truth=gt)
+    if cache_path:
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            offs = np.cumsum([0] + [s.shape[0] for s in scans]).astype(np.int64)
+            np.savez_compressed(
+                cache_path + ".tmp.npz", points=np.concatenate(scans, axis=0),
+                offsets=offs, ts=np.asarray(ts, np.float64),
+                gt=np.stack(gt).astype(np.float64))
+            os.replace(cache_path + ".tmp.npz", cache_path)
+        except Exception as e:
+            print(f"[lidar_sim] cache write failed ({e})")
+    return seq
 
 
 # Named benchmark sequences for RESULTS.md — keep specs stable so recorded
@@ -468,12 +530,13 @@ BENCHMARK_SEQUENCES = {
         trajectory="figure8", n_scans=240, seed=2,
         world_kwargs=dict(extent=45.0), traj_kwargs=dict(a=12.0),
         param_file="velodyne_puck16.yaml"),
-    # 138 m loop at ~8 m/s (vehicle speed, KITTI-class sensor).
+    # 138 m loop at ~8 m/s (vehicle speed, KITTI-class sensor).  period is
+    # explicit: vehicles legitimately exceed the walking-speed default floor.
     "hdl64_yard_drive": SimSequenceSpec(
         name="hdl64_yard_drive", sensor="hdl64", world="yard",
         trajectory="circle", n_scans=180, seed=3,
         world_kwargs=dict(extent=55.0, n_buildings=14),
-        traj_kwargs=dict(radius=22.0, z=1.8),
+        traj_kwargs=dict(radius=22.0, z=1.8, period=180 / 10.0 / 1.05),
         param_file="velodyne_hdl64_kitti.yaml"),
     # Indoor walk, short-range wide-FOV sensor.
     "os0_corridor_walk": SimSequenceSpec(

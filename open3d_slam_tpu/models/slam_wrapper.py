@@ -142,6 +142,8 @@ class SlamWrapper:
         with self.telemetry.timer("odometry"):
             cloud = self._undistort(measurement, "odom")
             ok = self.odometry.add_range_scan(cloud, measurement.time)
+            if self.odometry.prev is not None:   # attribute target prep here
+                self.telemetry.sync(self.odometry.prev.grid.hashes_sorted)
         if not ok:
             print(f"WARNING: odometry failed at t={measurement.time}; "
                   "pose not updated for this scan")
@@ -160,12 +162,16 @@ class SlamWrapper:
         with self.telemetry.timer("mapping"):
             cloud = self._undistort(measurement, "map")
             self.mapper.add_range_measurement(cloud, measurement.time)
+            # Attribute the async submap-insert program to THIS stage when
+            # timing stats are on (see TelemetryRegistry.sync).
+            self.telemetry.sync(self.submaps.get_active_submap().map_cloud)
         self.latest_scan_to_map_refinement_time = measurement.time
         # Dense map stage (denseMapWorker, :363-386).
         if self.params.mapper.is_build_dense_map:
             with self.telemetry.timer("dense_map"):
                 self.submaps.insert_scan_dense_map(
                     cloud, self.mapper.map_to_range_sensor, measurement.time)
+                self.telemetry.sync(self.submaps.get_active_submap().dense_map.keys)
         # Feature computation + loop-closure candidate collection (:388-405).
         if self.params.mapper.is_attempt_loop_closures:
             self.compute_features_if_ready()

@@ -19,10 +19,13 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from open3d_slam_tpu.ops.voxel import hash_coords, voxel_coords
+from open3d_slam_tpu.ops.voxel import voxel_coords
 from open3d_slam_tpu.utils.pointcloud import PointCloud
 
 INT32_MAX = jnp.iinfo(jnp.int32).max
+
+
+_BASE_UNSET = jnp.iinfo(jnp.int32).min  # region base not yet anchored
 
 
 @jax.tree_util.register_dataclass
@@ -32,6 +35,14 @@ class VoxelizedPointCloud:
 
     Sums (not means) are stored so merges are exact; ``to_point_cloud``
     divides by counts.
+
+    Keys are COLLISION-FREE packed voxel coords relative to ``region_base``
+    (matching the reference's exact ``Vector3i`` map keys,
+    ``VoxelHashMap.hpp:25-35``) — a hash key here would merge two far-apart
+    voxels' position/color means into one bogus blended point on collision.
+    The base is anchored by the first ``insert`` at the scan's center, which
+    covers EXACT_EXTENT voxels (129 m at 0.1 m) — generous for a
+    radius-bounded per-submap dense map; points beyond it are dropped.
     """
 
     keys: jnp.ndarray        # (C,) int32 sorted; INT32_MAX = empty slot
@@ -40,6 +51,7 @@ class VoxelizedPointCloud:
     color_sum: jnp.ndarray   # (C, 3) float32 (zeros if unused)
     count: jnp.ndarray       # (C,) float32
     voxel_size: jnp.ndarray  # () float32
+    region_base: jnp.ndarray  # (3,) int32 voxel coord; _BASE_UNSET until anchored
 
     @property
     def capacity(self) -> int:
@@ -57,6 +69,7 @@ def empty(capacity: int, voxel_size) -> VoxelizedPointCloud:
         color_sum=jnp.zeros((capacity, 3), jnp.float32),
         count=jnp.zeros((capacity,), jnp.float32),
         voxel_size=jnp.asarray(voxel_size, jnp.float32),
+        region_base=jnp.full((3,), _BASE_UNSET, jnp.int32),
     )
 
 
@@ -91,11 +104,22 @@ def _segment_reduce(keys: jnp.ndarray, vals: Tuple[jnp.ndarray, ...], capacity: 
 def insert(vm: VoxelizedPointCloud, pc: PointCloud) -> VoxelizedPointCloud:
     """Aggregate a cloud into the store (``VoxelizedPointCloud::insert``,
     ``Voxel.cpp:66-88``).  Overflow beyond capacity drops the largest-key
-    voxels (keys are spatial hashes, so the drop is effectively random —
-    callers size capacity to avoid it)."""
-    keys_new = jnp.where(pc.mask,
-                         hash_coords(voxel_coords(pc.points, vm.voxel_size)),
-                         INT32_MAX)
+    voxels; callers size capacity to avoid it.
+
+    The first insert anchors ``region_base`` at the scan's masked-mean
+    coordinate; all keys are exact within the 1290^3-voxel region around it.
+    Valid points outside the region (>= ~64 m from the anchor at 0.1 m
+    voxels — beyond any radius-bounded submap cropper) are dropped."""
+    from open3d_slam_tpu.ops.voxel import pack_coords, region_base_from_center
+    coords = voxel_coords(pc.points, vm.voxel_size)
+    n_valid = jnp.clip(jnp.sum(pc.mask.astype(jnp.float32)), 1.0, None)
+    center = jnp.sum(jnp.where(pc.mask[:, None], coords.astype(jnp.float32), 0.0),
+                     axis=0) / n_valid
+    fresh_base = region_base_from_center(center.astype(jnp.int32))
+    base = jnp.where(vm.region_base[0] == _BASE_UNSET, fresh_base,
+                     vm.region_base)
+    packed = pack_coords(coords, base)
+    keys_new = jnp.where(pc.mask & (packed >= 0), packed, INT32_MAX)
     pos_new = jnp.where(pc.mask[:, None], pc.points, 0.0)
     nrm_new = (jnp.where(pc.mask[:, None], pc.normals, 0.0)
                if pc.normals is not None else jnp.zeros_like(pos_new))
@@ -113,7 +137,7 @@ def insert(vm: VoxelizedPointCloud, pc: PointCloud) -> VoxelizedPointCloud:
         keys, (pos, nrm, col, cnt[:, None]), vm.capacity)
     return VoxelizedPointCloud(
         keys=out_keys, pos_sum=pos_s, normal_sum=nrm_s, color_sum=col_s,
-        count=cnt_s[:, 0], voxel_size=vm.voxel_size)
+        count=cnt_s[:, 0], voxel_size=vm.voxel_size, region_base=base)
 
 
 @jax.jit
@@ -162,20 +186,31 @@ def remove_keys(vm: VoxelizedPointCloud, keys_to_remove_sorted: jnp.ndarray,
         color_sum=jnp.where(hit[:, None], 0.0, vm.color_sum)[order],
         count=jnp.where(hit, 0.0, vm.count)[order],
         voxel_size=vm.voxel_size,
+        region_base=vm.region_base,
     )
 
 
 @jax.jit
 def transform(vm: VoxelizedPointCloud, T: jnp.ndarray) -> VoxelizedPointCloud:
     """Rigidly move the aggregate means (``VoxelizedPointCloud::transform``,
-    ``Voxel.cpp:49-64``).  Keys are recomputed from the moved means."""
+    ``Voxel.cpp:49-64``).  Keys are recomputed from the moved means; the
+    region base is re-anchored at the moved centroid so a chain of
+    loop-closure corrections cannot walk the map out of its key region."""
+    from open3d_slam_tpu.ops.voxel import pack_coords, region_base_from_center
     cnt = jnp.clip(vm.count, 1.0, None)[:, None]
     mean = vm.pos_sum / cnt
     R = T[:3, :3]
     mean_t = mean @ R.T + T[:3, 3]
     nrm_t = (vm.normal_sum / cnt) @ R.T
     valid = vm.keys != INT32_MAX
-    keys = jnp.where(valid, hash_coords(voxel_coords(mean_t, vm.voxel_size)), INT32_MAX)
+    coords = voxel_coords(mean_t, vm.voxel_size)
+    n_valid = jnp.clip(jnp.sum(valid.astype(jnp.float32)), 1.0, None)
+    center = jnp.sum(jnp.where(valid[:, None], coords.astype(jnp.float32), 0.0),
+                     axis=0) / n_valid
+    base = jnp.where(vm.region_base[0] == _BASE_UNSET, vm.region_base,
+                     region_base_from_center(center.astype(jnp.int32)))
+    packed = pack_coords(coords, base)
+    keys = jnp.where(valid & (packed >= 0), packed, INT32_MAX)
     order = jnp.argsort(keys)
     return VoxelizedPointCloud(
         keys=keys[order],
@@ -184,6 +219,7 @@ def transform(vm: VoxelizedPointCloud, T: jnp.ndarray) -> VoxelizedPointCloud:
         color_sum=vm.color_sum[order],
         count=vm.count[order],
         voxel_size=vm.voxel_size,
+        region_base=base,
     )
 
 

@@ -117,6 +117,46 @@ def batch_map_sequences(sequences, params=None) -> List[np.ndarray]:
     return [local[i] for i in range(n_seq)]
 
 
+def batch_map_stage(n_sequences: int = 2, n_scans: int = 6) -> dict:
+    """BASELINE config-5 sanity: run ``batch_map_sequences`` on N tiny
+    synthetic sequences, round-robin across the live processes, and check
+    every process receives all N trajectories with the owned poses intact.
+
+    Returns {"n_sequences", "n_nonzero", "max_start_err"} (process-local;
+    identical on every process by construction of the allgather).
+    """
+    from open3d_slam_tpu.io import datasets
+    from open3d_slam_tpu.utils.config import CapacityParameters, SlamParameters
+
+    seqs = []
+    for i in range(n_sequences):
+        cfgw = datasets.SyntheticWorldConfig(
+            extent=20.0, n_ground=20000, n_walls=15000, n_pillars=8000,
+            seed=11 + i)
+        seqs.append(datasets.make_synthetic_sequence(
+            n_scans=n_scans, trajectory="straight", step=0.4, n_points=3000,
+            max_range=18.0, world_cfg=cfgw))
+
+    params = SlamParameters()
+    params.capacities = CapacityParameters(
+        raw_scan=4096, processed_scan=2048, submap_points=16384,
+        dense_submap_voxels=4096, map_patch=4096, feature_cloud=1024)
+    params.odometry.scan_processing.voxel_size = 0.4
+    params.mapper.scan_processing.voxel_size = 0.4
+    params.mapper.map_builder.map_voxel_size = 0.4
+    params.mapper.is_build_dense_map = False
+    params.mapper.is_attempt_loop_closures = False
+
+    trajs = batch_map_sequences(seqs, params)
+    n_nonzero = sum(1 for t in trajs if np.abs(t).sum() > 0)
+    # Each trajectory's first pose is ~identity (mapping starts at origin).
+    max_start_err = max(
+        float(np.abs(t[0] - np.eye(4)).max()) for t in trajs
+        if np.abs(t).sum() > 0) if n_nonzero else float("inf")
+    return {"n_sequences": n_sequences, "n_nonzero": n_nonzero,
+            "max_start_err": max_start_err}
+
+
 def registration_throughput_stage(mesh, batch: int = 32, n_src: int = 512,
                                   n_tgt: int = 2048) -> float:
     """Globally-sharded batched p2l ICP; returns mean fitness (must be ~1).
@@ -251,13 +291,17 @@ def _worker_main(argv=None):
     mesh = global_mesh(block=args.block)
     fit = registration_throughput_stage(mesh)
     err = pose_graph_refinement_stage(mesh)
-    ok = fit > 0.95 and err < 0.05
+    bm = batch_map_stage()
+    ok = (fit > 0.95 and err < 0.05
+          and bm["n_nonzero"] == bm["n_sequences"]
+          and bm["max_start_err"] < 1e-3)
     if jax.process_index() == 0:
         result = {"processes": jax.process_count(),
                   "global_devices": len(jax.devices()),
                   "mesh": dict(mesh.shape),
                   "registration_fitness": round(fit, 4),
                   "pose_graph_endpoint_err": round(err, 5),
+                  "batch_map_sequences": bm,
                   "ok": ok}
         print(json.dumps(result))
         if args.out:

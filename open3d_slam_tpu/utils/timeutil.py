@@ -100,6 +100,23 @@ class TelemetryRegistry:
             self.timers[name] = Timer(name)
         return self.timers[name]
 
+    def sync(self, x):
+        """Block on device arrays in ``x`` — ONLY when telemetry is enabled.
+
+        JAX dispatch is async: a stage that merely enqueues device work
+        would otherwise report ~0 ms while its real cost drains into
+        whatever blocks next (the reference's timers measure completed
+        work, ``SlamWrapper.cpp:282-286``).  When telemetry is off we keep
+        the async overlap — it is free pipeline parallelism.
+        """
+        if not self.enabled:
+            return x
+        import jax
+        for leaf in jax.tree_util.tree_leaves(x):
+            if hasattr(leaf, "block_until_ready"):
+                leaf.block_until_ready()
+        return x
+
     def maybe_print(self, force: bool = False):
         if not self.enabled:
             return

@@ -32,3 +32,8 @@ def test_two_process_multihost_pass(tmp_path):
     assert result["mesh"] == {"data": 4, "block": 2}
     assert result["registration_fitness"] > 0.95
     assert result["pose_graph_endpoint_err"] < 0.05
+    # BASELINE config-5 stage: every process got all N batch-mapped
+    # trajectories (sequences are round-robin-owned, allgather-merged).
+    bm = result["batch_map_sequences"]
+    assert bm["n_nonzero"] == bm["n_sequences"] == 2
+    assert bm["max_start_err"] < 1e-3

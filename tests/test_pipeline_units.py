@@ -176,6 +176,33 @@ def test_dense_map_remove_keys(rng):
     np.testing.assert_allclose(out, [[5.5, 5.5, 5.5]], atol=1e-5)
 
 
+def test_dense_map_hash_collision_not_merged():
+    """Exact-key regression for the STORE (not just carving): two points in
+    voxels whose coords differ by (-152, -951, -211) collide in the additive
+    int32 hash; a hash-keyed store would merge them into one bogus blended
+    mean.  With exact packed keys they must aggregate into TWO voxels."""
+    vm = dense_map.empty(64, 1.0)
+    a = np.array([5.5, 0.5, 0.5], np.float32)
+    b = a + np.array([-152, -951, -211], np.float32)  # colliding voxel
+    vm = dense_map.insert(vm, pclib.from_numpy(np.stack([a, b])))
+    assert int(vm.num_voxels()) == 2
+    out = pclib.to_numpy(dense_map.to_point_cloud(vm))["points"]
+    got = sorted(map(tuple, np.round(out, 3)))
+    want = sorted(map(tuple, np.round(np.stack([a, b]), 3)))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_dense_map_drops_out_of_region_points():
+    """Points beyond the exact-pack region of the anchored base are dropped
+    (documented behavior), never silently merged."""
+    vm = dense_map.empty(64, 1.0)
+    vm = dense_map.insert(vm, pclib.from_numpy(
+        np.array([[0.5, 0.5, 0.5]], np.float32)))
+    far = np.array([[5000.0, 0.5, 0.5]], np.float32)   # outside 1290-voxel region
+    vm = dense_map.insert(vm, pclib.from_numpy(far))
+    assert int(vm.num_voxels()) == 1
+
+
 def test_carving_hash_collision_not_carved():
     """Exact-key regression: voxel coords differing by (-152, -951, -211)
     collide in the old additive int32 hash (73856093*dx + 19349669*dy +
