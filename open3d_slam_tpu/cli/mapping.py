@@ -49,6 +49,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="scan accumulation count (DataProcessorRos semantics)")
     ap.add_argument("--no-skip-first", action="store_true",
                     help="do not skip the first 5 clouds")
+    ap.add_argument("--max-wall-sec", type=float, default=0.0,
+                    help="stop replay cleanly after this many wall seconds "
+                         "(0 = no limit); finish_processing still runs — "
+                         "prefer this over an external kill, which can wedge "
+                         "a tunneled TPU backend mid-transfer")
     return ap
 
 
@@ -67,7 +72,7 @@ def load_params(param_file: Optional[str]) -> cfg.SlamParameters:
 
 def run_sequence(slam: SlamWrapper, seq: datasets.SyntheticSequence,
                  num_accumulated: int = 1, skip_first: int = SKIP_FIRST_N_POINT_CLOUDS,
-                 report_every_sec: float = 15.0):
+                 report_every_sec: float = 15.0, max_wall_sec: float = 0.0):
     """Offline replay with backpressure + realtime-factor reporting."""
     t_start = time.monotonic()
     t_last_report = t_start
@@ -75,6 +80,10 @@ def run_sequence(slam: SlamWrapper, seq: datasets.SyntheticSequence,
     accum = []
     n_processed = 0
     for i, (scan, ts) in enumerate(zip(seq.scans, seq.timestamps)):
+        if max_wall_sec > 0 and time.monotonic() - t_start > max_wall_sec:
+            print(f"--max-wall-sec {max_wall_sec:.0f} reached; stopping at "
+                  f"scan {i}/{len(seq.scans)}")
+            break
         if i < skip_first:
             continue
         accum.append(scan)
@@ -156,7 +165,8 @@ def main(argv=None) -> int:
     slam.folder_path = args.save_folder
     rtf = run_sequence(slam, seq,
                        num_accumulated=args.num_accumulated_range_data,
-                       skip_first=0 if args.no_skip_first else SKIP_FIRST_N_POINT_CLOUDS)
+                       skip_first=0 if args.no_skip_first else SKIP_FIRST_N_POINT_CLOUDS,
+                       max_wall_sec=args.max_wall_sec)
 
     if params.saving.is_save_map or params.saving.is_save_at_mission_end:
         print("saved map to", slam.save_map())

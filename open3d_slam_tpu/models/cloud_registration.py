@@ -11,8 +11,10 @@ registration-type agnostic.
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 
 from open3d_slam_tpu.ops import hashgrid, normals as normals_ops, registration
@@ -27,6 +29,19 @@ class PreparedCloud(NamedTuple):
     cloud: PointCloud
     grid: HashGrid
     covs_sorted: Optional[jnp.ndarray] = None  # GICP only
+
+
+@partial(jax.jit, static_argnames=("with_covs",))
+def _prepare_target_fn(pc: PointCloud, cell, with_covs: bool) -> PreparedCloud:
+    """One program: grid build (+ GICP covariances, gathered in grid order).
+    Jitted as a whole so the build/covariance/gather chain is one device
+    dispatch instead of several eager ops."""
+    grid = hashgrid.build(pc, cell_size=cell)
+    covs_sorted = None
+    if with_covs:
+        covs = normals_ops.covariances_from_normals(pc)
+        covs_sorted = covs[grid.order]
+    return PreparedCloud(cloud=pc, grid=grid, covs_sorted=covs_sorted)
 
 
 class CloudRegistrationStrategy:
@@ -57,12 +72,8 @@ class CloudRegistrationStrategy:
 
     def prepare_target(self, pc: PointCloud) -> PreparedCloud:
         cell = max(self.icp.max_correspondence_distance, 1e-6)
-        grid = hashgrid.build(pc, cell_size=cell)
-        covs_sorted = None
-        if self.reg_type == "GeneralizedIcp":
-            covs = normals_ops.covariances_from_normals(pc)
-            covs_sorted = covs[grid.order]
-        return PreparedCloud(cloud=pc, grid=grid, covs_sorted=covs_sorted)
+        return _prepare_target_fn(pc, jnp.float32(cell),
+                                  self.reg_type == "GeneralizedIcp")
 
     # -- registration (registerClouds) --
 

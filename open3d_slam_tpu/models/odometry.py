@@ -22,12 +22,37 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from functools import partial
+
 from open3d_slam_tpu.models.buffers import TransformInterpolationBuffer
 from open3d_slam_tpu.models.cloud_registration import (
     CloudRegistrationStrategy, PreparedCloud, cloud_registration_factory)
-from open3d_slam_tpu.ops import croppers, voxel
+from open3d_slam_tpu.ops import croppers, normals as normals_ops, voxel
+from open3d_slam_tpu.utils import pointcloud as pclib
 from open3d_slam_tpu.utils.config import OdometryParameters
 from open3d_slam_tpu.utils.pointcloud import PointCloud
+
+
+@partial(jax.jit, static_argnames=("voxel_size", "out_capacity", "n_keep",
+                                   "keep_capacity", "needs_normals", "max_nn"))
+def preprocess_chain(cloud: PointCloud, cropper, radius, key,
+                     voxel_size: float, out_capacity: int, n_keep: int,
+                     keep_capacity: int, needs_normals: bool,
+                     max_nn: int) -> PointCloud:
+    """crop -> voxelize -> normals -> random downsample -> compact, as ONE
+    jitted program (``Odometry.cpp:25-30`` order).  Shared by odometry and
+    the mapper's scan preprocessing; a fused program both avoids per-op
+    eager dispatches through the device tunnel and caches as a single
+    executable."""
+    cropped = cropper.crop(cloud)
+    down = voxel.voxel_downsample(cropped, voxel_size,
+                                  out_capacity=out_capacity)
+    if needs_normals:
+        down = normals_ops.estimate_normals(down, radius, max_nn=max_nn)
+    if n_keep > 0:
+        down = voxel.random_downsample(down, n_keep, key)
+        down = pclib.compact_to(down, keep_capacity)
+    return down
 
 
 class LidarOdometry:
@@ -50,23 +75,24 @@ class LidarOdometry:
     def preprocess(self, cloud: PointCloud) -> PointCloud:
         """Crop -> voxelize -> normals -> random downsample (``Odometry.cpp:25-30``).
 
-        The downsampled cloud is COMPACTED to the smallest tileable capacity
-        holding ``n_keep`` points: every downstream device program (grid
-        build, fused ICP sweeps) then scales with the real matching-cloud
-        size instead of the pre-downsample capacity."""
-        from open3d_slam_tpu.utils import pointcloud as pclib
+        One fused jitted program (``preprocess_chain``).  The downsampled
+        cloud is COMPACTED to the smallest tileable capacity holding
+        ``n_keep`` points: every downstream device program (grid build,
+        fused ICP sweeps) then scales with the real matching-cloud size
+        instead of the pre-downsample capacity."""
         sp = self.params.scan_processing
-        cropped = self.cropper.crop(cloud)
-        down = voxel.voxel_downsample(cropped, sp.voxel_size,
-                                      out_capacity=self.processed_capacity)
-        down = self.registration.estimate_normals_if_needed(down)
         ratio = sp.down_sampling_ratio
-        if ratio < 1.0:
-            self._rng_key, sub = jax.random.split(self._rng_key)
-            n_keep = int(round(self.processed_capacity * ratio))
-            down = voxel.random_downsample(down, n_keep, sub)
-            down = pclib.compact_to(down, pclib.padded_capacity(n_keep))
-        return down
+        n_keep = (int(round(self.processed_capacity * ratio))
+                  if ratio < 1.0 else 0)
+        self._rng_key, sub = jax.random.split(self._rng_key)
+        return preprocess_chain(
+            cloud, self.cropper,
+            jnp.float32(self.params.scan_matcher.icp.max_distance_knn), sub,
+            voxel_size=sp.voxel_size, out_capacity=self.processed_capacity,
+            n_keep=n_keep,
+            keep_capacity=pclib.padded_capacity(max(n_keep, 1)),
+            needs_normals=self.registration.needs_normals(),
+            max_nn=self.params.scan_matcher.icp.knn)
 
     # ------------------------------------------------------------------
 

@@ -36,6 +36,22 @@ class ProcessedScans(NamedTuple):
     merge: PointCloud
 
 
+from functools import partial as _partial  # noqa: E402
+
+
+@_partial(jax.jit, static_argnames=("patch_capacity", "with_covs"))
+def _patch_prepare(map_cloud: PointCloud, cropper, pose_t: jnp.ndarray,
+                   cell, patch_capacity: int, with_covs: bool):
+    """Crop map patch at pose -> compact -> grid (+GICP covariances), as one
+    jitted program (the per-scan target prep of scan2map)."""
+    from open3d_slam_tpu.models.cloud_registration import _prepare_target_fn
+    from open3d_slam_tpu.utils import pointcloud as pclib
+    patch = map_cloud.with_(
+        mask=map_cloud.mask & cropper.is_inside(map_cloud.points, pose_t))
+    patch = pclib.compact_to(patch, patch_capacity)
+    return _prepare_target_fn(patch, cell, with_covs)
+
+
 class ScanToMapIcp:
     def __init__(self, params: MapperParameters, processed_capacity: int = 16384,
                  patch_capacity: int = 65536):
@@ -54,20 +70,25 @@ class ScanToMapIcp:
     def preprocess(self, cloud: PointCloud) -> PointCloud:
         """``ScanToMapIcp::preprocess`` (``ScanToMapRegistration.cpp:35-41``).
 
-        Compacted after the random downsample (see LidarOdometry.preprocess)
-        so the match/merge clouds carry the real point count's capacity."""
+        One fused jitted program (odometry.preprocess_chain); compacted
+        after the random downsample so the match/merge clouds carry the
+        real point count's capacity."""
+        from open3d_slam_tpu.models.odometry import preprocess_chain
         from open3d_slam_tpu.utils import pointcloud as pclib
         sp = self.params.scan_processing
-        cropped = self.map_builder_cropper.crop(cloud)
-        down = voxel.voxel_downsample(cropped, sp.voxel_size,
-                                      out_capacity=self.processed_capacity)
-        down = self.registration.estimate_normals_if_needed(down)
-        if sp.down_sampling_ratio < 1.0:
-            self._rng_key, sub = jax.random.split(self._rng_key)
-            n_keep = int(round(self.processed_capacity * sp.down_sampling_ratio))
-            down = voxel.random_downsample(down, n_keep, sub)
-            down = pclib.compact_to(down, pclib.padded_capacity(n_keep))
-        return down
+        ratio = sp.down_sampling_ratio
+        n_keep = (int(round(self.processed_capacity * ratio))
+                  if ratio < 1.0 else 0)
+        self._rng_key, sub = jax.random.split(self._rng_key)
+        icp = self.params.scan_matcher.icp
+        return preprocess_chain(
+            cloud, self.map_builder_cropper,
+            jnp.float32(icp.max_distance_knn), sub,
+            voxel_size=sp.voxel_size, out_capacity=self.processed_capacity,
+            n_keep=n_keep,
+            keep_capacity=pclib.padded_capacity(max(n_keep, 1)),
+            needs_normals=self.registration.needs_normals(),
+            max_nn=icp.knn)
 
     def process_for_scan_matching_and_merging(self, cloud: PointCloud,
                                               map_to_range_sensor: np.ndarray) -> ProcessedScans:
@@ -86,14 +107,14 @@ class ScanToMapIcp:
         patch, not the whole submap — the patch is compacted to
         ``patch_capacity`` before the target grid/covariances are built, so
         every ICP sweep scales with the patch size rather than the submap
-        capacity.  Overflow keeps a uniform stride of patch points."""
-        from open3d_slam_tpu.utils import pointcloud as pclib
+        capacity.  Overflow keeps a uniform stride of patch points.  The
+        crop+compact+grid+covariance prep is one jitted program."""
         pose_t = jnp.asarray(map_to_range_sensor, jnp.float32)[:3, 3]
-        patch = active_submap.map_cloud.with_(
-            mask=active_submap.map_cloud.mask &
-            self.scan_matcher_cropper.is_inside(active_submap.map_cloud.points, pose_t))
-        patch = pclib.compact_to(patch, self.patch_capacity)
-        prepared = self.registration.prepare_target(patch)
+        cell = max(self.params.scan_matcher.icp.max_correspondence_distance, 1e-6)
+        prepared = _patch_prepare(
+            active_submap.map_cloud, self.scan_matcher_cropper, pose_t,
+            jnp.float32(cell), self.patch_capacity,
+            self.registration.reg_type == "GeneralizedIcp")
         return self.registration.register(
             scan, prepared, jnp.asarray(initial_guess, jnp.float32))
 

@@ -64,15 +64,33 @@ def main():
 
     slam._undistort = undistort_logged
 
+    s2m = slam.mapper.scan_to_map_reg
+    orig_reg = s2m.scan_to_map_registration
+
+    def reg_logged(scan, submap, m2rs, init):
+        res = orig_reg(scan, submap, m2rs, init)
+        fit, it, T = jax.device_get(
+            (res.fitness, res.num_iterations, res.transformation))
+        n_map = int(submap.map_cloud.count())
+        print(f"    s2m: fit={float(fit):.3f} it={int(it)} "
+              f"map_n={n_map} init_t={np.asarray(init)[:3,3].round(2)} "
+              f"out_t={np.asarray(T)[:3,3].round(2)}", flush=True)
+        return res
+
+    s2m.scan_to_map_registration = reg_logged
+
     for i, (scan, ts) in enumerate(zip(seq.scans, seq.timestamps)):
         print(f"scan {i}: raw={scan.shape[0]}", flush=True)
         t0 = time.perf_counter()
         slam.process_scan(scan, ts)
         o = slam.odometry
         prev_n = int(o.prev.cloud.count()) if o.prev else -1
+        gt_t = np.asarray(seq.ground_truth[i])[:3, 3] - \
+            np.asarray(seq.ground_truth[0])[:3, 3]
         print(f"    odom_cum_t={np.asarray(o.odom_to_range_sensor_cumulative)[:3,3].round(2)}"
               f" prev_n={prev_n}  map_t="
               f"{slam.mapper.map_to_range_sensor[:3,3].round(2)}"
+              f" gt_rel={gt_t.round(2)}"
               f"  ({time.perf_counter()-t0:.1f}s)", flush=True)
 
 

@@ -61,6 +61,10 @@ def timed(name, fn):
 
 def main():
     n_scans = int(sys.argv[1]) if len(sys.argv) > 1 else 36
+    # Self-limit: exit CLEANLY before an outer `timeout` can kill us mid
+    # TPU op (a mid-transfer SIGTERM wedges the remote chip for ~20+ min).
+    budget_s = float(sys.argv[2]) if len(sys.argv) > 2 else 500.0
+    t_budget0 = time.perf_counter()
 
     spec = lidar_sim.SimSequenceSpec(
         name="bench", sensor="vlp16", world="yard", trajectory="circle",
@@ -98,6 +102,11 @@ def main():
 
     totals = []
     for i, (scan, ts) in enumerate(zip(seq.scans, seq.timestamps)):
+        if time.perf_counter() - t_budget0 > budget_s:
+            print(f"[budget] {budget_s:.0f} s elapsed; stopping at scan {i}",
+                  flush=True)
+            n_scans = i
+            break
         t0 = time.perf_counter()
         slam.process_scan(scan, ts)
         dt = time.perf_counter() - t0
@@ -108,6 +117,9 @@ def main():
         print(f"scan {i:3d}: total={dt*1e3:7.0f} ms  {last}", flush=True)
 
     warm = max(6, n_scans // 4)
+    if n_scans <= warm:
+        print("too few scans processed for steady-state stats")
+        return
     print("\n--- steady-state medians (scans >= %d) ---" % warm)
     for k in sorted(TIMES):
         vals = TIMES[k][- (n_scans - warm):]
