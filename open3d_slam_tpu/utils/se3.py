@@ -146,6 +146,8 @@ def identity(dtype=jnp.float32) -> jnp.ndarray:
 
 
 def transform_points(T: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
+    # NOTE: full-f32 matmul precision is required (bf16 MXU rounding moves
+    # points by ~1e-2 m at |p|~30 m); enforced package-wide in __init__.
     """Apply 4x4 transform to (N, 3) points (leading batch dims on T allowed)."""
     return pts @ T[..., :3, :3].swapaxes(-1, -2) + T[..., None, :3, 3]
 
