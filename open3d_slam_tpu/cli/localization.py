@@ -19,6 +19,7 @@ import time
 import numpy as np
 
 from open3d_slam_tpu.io import datasets, pcd
+from open3d_slam_tpu.models.map_initializer import SlamMapInitializer
 from open3d_slam_tpu.models.slam_wrapper import SlamWrapper
 from open3d_slam_tpu.parallel import multi_start
 from open3d_slam_tpu.utils import config as cfg, pointcloud as pclib
@@ -37,6 +38,13 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--num-hypotheses", type=int, default=1024)
     ap.add_argument("--merge-scans", action="store_true",
                     help="keep extending the loaded map")
+    ap.add_argument("--interactive-init-scans", type=int, default=0,
+                    metavar="N",
+                    help="treat the first N scans as an interactive "
+                         "initialization window: merging off and the "
+                         "min-refinement-fitness gate ignored until the "
+                         "window closes (SlamMapInitializer::initializeWorker "
+                         "gate relaxation, SlamMapInitializer.cpp:79-93)")
     return ap
 
 
@@ -61,7 +69,8 @@ def main(argv=None) -> int:
     print(f"loaded map with {map_data['points'].shape[0]} points")
 
     slam = SlamWrapper(params)
-    slam.set_initial_map(map_data["points"])
+    initializer = SlamMapInitializer(slam)
+    initializer.initialize(map_data["points"])
 
     if not args.sequence:
         print("map loaded; provide --sequence to localize scans")
@@ -81,8 +90,13 @@ def main(argv=None) -> int:
     elif args.initial_pose is not None:
         slam.set_initial_transform(pose_from_xyzrpy(*args.initial_pose))
 
-    for scan, ts in zip(seq.scans, seq.timestamps):
+    if args.interactive_init_scans > 0:
+        initializer.begin_interactive_init()
+    for i, (scan, ts) in enumerate(zip(seq.scans, seq.timestamps)):
+        if args.interactive_init_scans and i == args.interactive_init_scans:
+            initializer.finish_initialization()
         slam.process_scan(scan, ts)
+        initializer.notify_scan_processed()
         T = slam.mapper.map_to_range_sensor
         print(f"t={ts:.2f} pose xyz=({T[0,3]:.2f}, {T[1,3]:.2f}, {T[2,3]:.2f})")
     return 0

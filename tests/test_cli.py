@@ -81,3 +81,50 @@ def test_localization_cli(seq_dir, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "loaded map" in out
     assert "pose xyz" in out
+
+
+def test_localization_interactive_init_gate_relaxation(seq_dir, tmp_path, capsys):
+    """SlamMapInitializer gate semantics (SlamMapInitializer.cpp:79-93):
+    during the interactive window merging is off + the fitness gate is
+    ignored; one scan after the window closes both are restored."""
+    param = small_param_file(tmp_path)
+    rc = mapping.main(["--sequence", seq_dir, "--param", param,
+                       "--save-folder", str(tmp_path / "m2"), "--save-map",
+                       "--no-skip-first"])
+    assert rc == 0
+    rc = localization.main([
+        "--map", str(tmp_path / "m2" / "map.pcd"),
+        "--sequence", seq_dir, "--param", param,
+        "--initial-pose", "0", "0", "1.5", "0", "0", "0",
+        "--interactive-init-scans", "3"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Finished setting initial map!" in out
+
+
+def test_map_initializer_unit():
+    from open3d_slam_tpu.models.map_initializer import SlamMapInitializer
+    from open3d_slam_tpu.utils import config as cfg
+
+    class FakeSlam:
+        def __init__(self):
+            self.params = cfg.SlamParameters()
+            self.params.mapper.is_merge_scans_into_map = True
+        def set_initial_map(self, pts):
+            self.map_set = pts.shape
+        def set_initial_transform(self, T):
+            self.T = np.asarray(T)
+
+    slam = FakeSlam()
+    ini = SlamMapInitializer(slam)
+    ini.initialize(np.zeros((10, 3), np.float32), np.eye(4))
+    assert slam.map_set == (10, 3)
+    ini.begin_interactive_init()
+    assert slam.params.mapper.is_merge_scans_into_map is False
+    assert slam.params.mapper.is_ignore_min_refinement_fitness is True
+    ini.update_pose(np.eye(4))
+    ini.finish_initialization()
+    assert slam.params.mapper.is_merge_scans_into_map is True   # restored now
+    assert slam.params.mapper.is_ignore_min_refinement_fitness is True  # deferred
+    ini.notify_scan_processed()
+    assert slam.params.mapper.is_ignore_min_refinement_fitness is False
