@@ -31,11 +31,32 @@ class PreparedCloud(NamedTuple):
     covs_sorted: Optional[jnp.ndarray] = None  # GICP only
 
 
-@partial(jax.jit, static_argnames=("with_covs",))
-def _prepare_target_fn(pc: PointCloud, cell, with_covs: bool) -> PreparedCloud:
+@partial(jax.jit, static_argnames=("with_covs", "identity_order"))
+def _prepare_target_fn(pc: PointCloud, cell, with_covs: bool,
+                       identity_order: bool = False) -> PreparedCloud:
     """One program: grid build (+ GICP covariances, gathered in grid order).
     Jitted as a whole so the build/covariance/gather chain is one device
-    dispatch instead of several eager ops."""
+    dispatch instead of several eager ops.
+
+    ``identity_order`` (TPU): skip the hash argsort + gathers and keep the
+    input point order.  The TPU registration paths never hash-probe (NN is
+    fused/brute-force, which only needs the validity marker), and the
+    pipeline's clouds arrive in packed-voxel-key order from
+    voxel_downsample — spatially COHERENT, which is exactly what the fused
+    kernel's AABB tile skip wants.  A hash sort would scatter neighbors
+    across the array and defeat it."""
+    if identity_order:
+        n = pc.capacity
+        grid = hashgrid.HashGrid(
+            hashes_sorted=jnp.where(pc.mask, 0, hashgrid.INT32_MAX),
+            points_sorted=pc.points,
+            normals_sorted=pc.normals,
+            order=jnp.arange(n, dtype=jnp.int32),
+            cell_size=jnp.asarray(cell, jnp.float32),
+        )
+        covs_sorted = (normals_ops.covariances_from_normals(pc)
+                       if with_covs else None)
+        return PreparedCloud(cloud=pc, grid=grid, covs_sorted=covs_sorted)
     grid = hashgrid.build(pc, cell_size=cell)
     covs_sorted = None
     if with_covs:
@@ -73,7 +94,8 @@ class CloudRegistrationStrategy:
     def prepare_target(self, pc: PointCloud) -> PreparedCloud:
         cell = max(self.icp.max_correspondence_distance, 1e-6)
         return _prepare_target_fn(pc, jnp.float32(cell),
-                                  self.reg_type == "GeneralizedIcp")
+                                  self.reg_type == "GeneralizedIcp",
+                                  jax.default_backend() == "tpu")
 
     # -- registration (registerClouds) --
 

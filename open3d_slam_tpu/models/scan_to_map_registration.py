@@ -39,17 +39,21 @@ class ProcessedScans(NamedTuple):
 from functools import partial as _partial  # noqa: E402
 
 
-@_partial(jax.jit, static_argnames=("patch_capacity", "with_covs"))
+@_partial(jax.jit, static_argnames=("patch_capacity", "with_covs",
+                                    "identity_order"))
 def _patch_prepare(map_cloud: PointCloud, cropper, pose_t: jnp.ndarray,
-                   cell, patch_capacity: int, with_covs: bool):
+                   cell, patch_capacity: int, with_covs: bool,
+                   identity_order: bool = False):
     """Crop map patch at pose -> compact -> grid (+GICP covariances), as one
-    jitted program (the per-scan target prep of scan2map)."""
+    jitted program (the per-scan target prep of scan2map).  The compaction
+    preserves the submap's packed-voxel order, so with ``identity_order``
+    the patch stays spatially coherent for the fused kernel's tile skip."""
     from open3d_slam_tpu.models.cloud_registration import _prepare_target_fn
     from open3d_slam_tpu.utils import pointcloud as pclib
     patch = map_cloud.with_(
         mask=map_cloud.mask & cropper.is_inside(map_cloud.points, pose_t))
     patch = pclib.compact_to(patch, patch_capacity)
-    return _prepare_target_fn(patch, cell, with_covs)
+    return _prepare_target_fn(patch, cell, with_covs, identity_order)
 
 
 class ScanToMapIcp:
@@ -114,7 +118,8 @@ class ScanToMapIcp:
         prepared = _patch_prepare(
             active_submap.map_cloud, self.scan_matcher_cropper, pose_t,
             jnp.float32(cell), self.patch_capacity,
-            self.registration.reg_type == "GeneralizedIcp")
+            self.registration.reg_type == "GeneralizedIcp",
+            jax.default_backend() == "tpu")
         return self.registration.register(
             scan, prepared, jnp.asarray(initial_guess, jnp.float32))
 

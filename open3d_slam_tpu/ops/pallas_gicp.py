@@ -42,43 +42,61 @@ _DIAG_EPS = 1e-6   # absolute PD jitter; GICP covariances are O(1) (eigvals in [
 _SQRT_TINY = 1e-12
 
 
-def _gicp_tile(r2_ref, q, qm, qc, td, tv, out_ref, bd2, bs):
+def _gicp_tile(r2_ref, q, qm, qc, td, tv, ta, out_ref, bd2, bs):
     """One (query-block, target-tile) step.
 
     q (BM,3) transformed source points; qm (BM,1) source validity; qc (BM,6)
     rotated source covariance entries [c00,c01,c02,c11,c12,c22]; td (9,BN)
-    target rows [x,y,z,c00,c01,c02,c11,c12,c22]; tv (1,BN) target validity.
+    target rows [x,y,z,c00,c01,c02,c11,c12,c22]; tv (1,BN) target validity;
+    ta (1,8) or None — this target tile's AABB [minx..z, maxx..z, 0, 0].
+
+    With ``ta``, the tile's distance sweep is SKIPPED when the query
+    block's AABB (valid points only) is farther than max_corr_distance
+    from the tile's AABB — EXACT, because any neighbor beyond that
+    distance is rejected by the inlier gate anyway.  Pays off when both
+    sides are spatially sorted so blocks/tiles are compact.
     """
     i = pl.program_id(1)
     j = pl.program_id(2)
     nb = pl.num_programs(2)
 
-    d0 = q[:, 0:1] - td[0:1, :]
-    d1 = q[:, 1:2] - td[1:2, :]
-    d2_ = q[:, 2:3] - td[2:3, :]
-    d2 = d0 * d0 + d1 * d1 + d2_ * d2_                # (BM, BN) exact f32
-    d2 = jnp.where(tv[0:1, :] > 0.0, d2, _BIG)
-
-    tile_min = jnp.min(d2, axis=1, keepdims=True)                 # (BM, 1)
-    tile_arg = jnp.argmin(d2, axis=1).astype(jnp.int32)[:, None]
-    cols = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
-    onehot = (cols == tile_arg).astype(jnp.float32)               # (BM, BN)
-    # Winner's 9 target values in ONE MXU matmul (exact: one-hot rows).
-    tile_s = jax.lax.dot_general(
-        onehot, td, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)                       # (BM, 9)
-
     @pl.when(j == 0)
     def _():
-        bd2[:, :] = tile_min
-        bs[:, :] = tile_s
+        bd2[:, :] = jnp.full(bd2.shape, _BIG, jnp.float32)
+        bs[:, :] = jnp.zeros(bs.shape, jnp.float32)
 
-    @pl.when(j > 0)
-    def _():
+    def sweep():
+        d0 = q[:, 0:1] - td[0:1, :]
+        d1 = q[:, 1:2] - td[1:2, :]
+        d2_ = q[:, 2:3] - td[2:3, :]
+        d2 = d0 * d0 + d1 * d1 + d2_ * d2_            # (BM, BN) exact f32
+        d2 = jnp.where(tv[0:1, :] > 0.0, d2, _BIG)
+
+        tile_min = jnp.min(d2, axis=1, keepdims=True)             # (BM, 1)
+        tile_arg = jnp.argmin(d2, axis=1).astype(jnp.int32)[:, None]
+        cols = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+        onehot = (cols == tile_arg).astype(jnp.float32)           # (BM, BN)
+        # Winner's 9 target values in ONE MXU matmul (exact: one-hot rows).
+        tile_s = jax.lax.dot_general(
+            onehot, td, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)                   # (BM, 9)
         better = tile_min < bd2[:, :]
         bd2[:, :] = jnp.where(better, tile_min, bd2[:, :])
         bs[:, :] = jnp.where(better, tile_s, bs[:, :])
+
+    if ta is None:
+        sweep()
+    else:
+        r2v = r2_ref[0, 0]
+        qv = qm > 0.0
+        qmin = jnp.min(jnp.where(qv, q, _BIG), axis=0)            # (3,)
+        qmax = jnp.max(jnp.where(qv, q, -_BIG), axis=0)
+        tmin = ta[0, 0:3]
+        tmax = ta[0, 3:6]
+        # gap per axis; blocks with no valid point (qmin=BIG) auto-reject.
+        gap = jnp.maximum(jnp.maximum(tmin - qmax, qmin - tmax), 0.0)
+        pl.when(jnp.sum(gap * gap) <= r2v)(sweep)
 
     @pl.when(j == nb - 1)
     def _():
@@ -148,7 +166,8 @@ def _gicp_tile(r2_ref, q, qm, qc, td, tv, out_ref, bd2, bs):
 @partial(jax.jit, static_argnames=("block_m", "block_n", "interpret"))
 def gicp_normal_eq(q_pts: jnp.ndarray, q_mask_f: jnp.ndarray,
                    q_cov6: jnp.ndarray, td: jnp.ndarray, tv: jnp.ndarray,
-                   r2: jnp.ndarray, block_m: int = 256, block_n: int = 2048,
+                   r2: jnp.ndarray, t_aabb: Optional[jnp.ndarray] = None,
+                   block_m: int = 256, block_n: int = 2048,
                    interpret: bool = False) -> jnp.ndarray:
     """Batched fused GICP normal equations.
 
@@ -161,6 +180,10 @@ def gicp_normal_eq(q_pts: jnp.ndarray, q_mask_f: jnp.ndarray,
         c02, c11, c12, c22]; 2-D is shared across the batch.
       tv:       (1, N) or (B, 1, N) f32 — 1.0 valid target.
       r2:       (1, 1) f32 — squared max correspondence distance.
+      t_aabb:   optional (N // block_n, 8) f32 per-tile AABBs
+        [minx,miny,minz,maxx,maxy,maxz,0,0] (see ``tile_aabbs``); enables
+        the exact AABB-distance tile skip — worthwhile only when source
+        and target are spatially sorted.
 
     Returns (B, 8, 128), unpacked by ``pallas_icp.unpack``.
     """
@@ -182,28 +205,38 @@ def gicp_normal_eq(q_pts: jnp.ndarray, q_mask_f: jnp.ndarray,
         return pl.BlockSpec(blk2, lambda b, i, j: (i, 0),
                             memory_space=pltpu.VMEM)
 
-    def kernel(r2_ref, qp_ref, qm_ref, qc_ref, td_ref, tv_ref,
-               out_ref, bd2, bs):
+    in_specs = [
+        pl.BlockSpec((1, 1), lambda b, i, j: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, block_m, 3), lambda b, i, j: (b, i, 0),
+                     memory_space=pltpu.VMEM),
+        _spec(q_mask_f, (block_m, 1), tgt_side=False),
+        pl.BlockSpec((1, block_m, 6), lambda b, i, j: (b, i, 0),
+                     memory_space=pltpu.VMEM),
+        _spec(td, (9, block_n), tgt_side=True),
+        _spec(tv, (1, block_n), tgt_side=True),
+    ]
+    operands = [r2, q_pts, q_mask_f, q_cov6, td, tv]
+    if t_aabb is not None:
+        in_specs.append(pl.BlockSpec((1, 8), lambda b, i, j: (j, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(t_aabb)
+
+    def kernel(r2_ref, qp_ref, qm_ref, qc_ref, td_ref, tv_ref, *rest):
+        *maybe_ta, out_ref, bd2, bs = rest
+        ta = maybe_ta[0] if maybe_ta else None
+
         def sq(ref):
             x = ref[...]
             return x[0] if x.ndim == 3 else x
         _gicp_tile(r2_ref, qp_ref[0], sq(qm_ref), qc_ref[0], sq(td_ref),
-                   sq(tv_ref), out_ref, bd2, bs)
+                   sq(tv_ref), None if ta is None else ta[...],
+                   out_ref, bd2, bs)
 
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1), lambda b, i, j: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, block_m, 3), lambda b, i, j: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            _spec(q_mask_f, (block_m, 1), tgt_side=False),
-            pl.BlockSpec((1, block_m, 6), lambda b, i, j: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            _spec(td, (9, block_n), tgt_side=True),
-            _spec(tv, (1, block_n), tgt_side=True),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 8, 128), lambda b, i, j: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, 8, 128), jnp.float32),
@@ -212,7 +245,21 @@ def gicp_normal_eq(q_pts: jnp.ndarray, q_mask_f: jnp.ndarray,
             pltpu.VMEM((block_m, 9), jnp.float32),
         ],
         interpret=interpret,
-    )(r2, q_pts, q_mask_f, q_cov6, td, tv)
+    )(*operands)
+
+
+def tile_aabbs(points_sorted: jnp.ndarray, valid: jnp.ndarray,
+               block_n: int) -> jnp.ndarray:
+    """Per-target-tile AABBs for the kernel's tile skip: (N//block_n, 8)
+    rows [minx,miny,minz,maxx,maxy,maxz,0,0].  Invalid points contribute
+    +/-BIG so an all-invalid tile never overlaps anything."""
+    n = points_sorted.shape[0]
+    tiles = points_sorted.reshape(n // block_n, block_n, 3)
+    v = valid.reshape(n // block_n, block_n, 1)
+    mins = jnp.min(jnp.where(v, tiles, _BIG), axis=1)
+    maxs = jnp.max(jnp.where(v, tiles, -_BIG), axis=1)
+    pad = jnp.zeros((n // block_n, 2), jnp.float32)
+    return jnp.concatenate([mins, maxs, pad], axis=1)
 
 
 def cov6_from_full(C: jnp.ndarray) -> jnp.ndarray:

@@ -201,7 +201,7 @@ def _icp_p2l_fused_batch(points, maskf, n_src, t_t, tn_t, tc, tv,
 def _icp_gicp_fused_batch(points, maskf, n_src, qcov6, td, tv,
                           inits, max_dist, max_iterations,
                           relative_fitness, relative_rmse, axis_name,
-                          block_m, block_n, interpret=False):
+                          block_m, block_n, t_aabb=None, interpret=False):
     """Batched GICP GN loop around the fused Pallas kernel.
 
     Same loop semantics as ``_icp_p2l_fused_batch`` (step from stats at T,
@@ -217,6 +217,7 @@ def _icp_gicp_fused_batch(points, maskf, n_src, qcov6, td, tv,
         pts = se3.transform_points(T, points)
         qc = pallas_gicp.rotate_cov6(T[..., :3, :3], qcov6)
         out = pallas_gicp.gicp_normal_eq(pts, maskf, qc, td, tv, r2,
+                                         t_aabb=t_aabb,
                                          block_m=block_m, block_n=block_n,
                                          interpret=interpret)
         if axis_name is not None:
@@ -436,13 +437,20 @@ def icp_generalized(source: PointCloud, source_covs: jnp.ndarray,
             valid = target_grid.hashes_sorted != hashgrid.INT32_MAX
             td, tv = pallas_gicp.prepare_target(
                 target_grid.points_sorted, target_covs_sorted, valid)
+            # Per-tile AABBs for the exact tile skip: pays off because the
+            # pipeline's targets arrive spatially sorted (identity-order
+            # grids over packed-voxel-ordered clouds); a hash-ordered grid
+            # just gets no skips, never wrong results.
+            t_aabb = pallas_gicp.tile_aabbs(target_grid.points_sorted,
+                                            valid, bn)
             maskf = source.mask.astype(jnp.float32)[:, None]
             qcov6 = pallas_gicp.cov6_from_full(source_covs)
             n_src = jnp.sum(source.mask.astype(jnp.float32))
             res = _icp_gicp_fused_batch(
                 source.points[None], maskf, n_src, qcov6[None], td, tv,
                 init[None], max_correspondence_distance, max_iterations,
-                relative_fitness, relative_rmse, None, bm, bn)
+                relative_fitness, relative_rmse, None, bm, bn,
+                t_aabb=t_aabb)
             return RegistrationResult(
                 transformation=res.transformation[0], fitness=res.fitness[0],
                 inlier_rmse=res.inlier_rmse[0],

@@ -152,8 +152,10 @@ def compact_to(pc: PointCloud, out_capacity: int) -> PointCloud:
 def concat(a: PointCloud, b: PointCloud, capacity: int) -> PointCloud:
     """Concatenate two clouds into a new cloud of ``capacity``.
 
-    Valid points of ``a`` come first, then valid points of ``b``; overflow
-    beyond capacity is dropped (caller should size capacity generously).
+    Valid points of ``a`` come first, then valid points of ``b``.  Overflow
+    beyond capacity keeps a uniform stride of the valid points (see
+    ``compact_to``).  O(N) cumsum+gather — no argsort (an argsort of the
+    combined capacity used to dominate the submap-insert program).
     """
     an, bn = a.capacity, b.capacity
 
@@ -166,20 +168,8 @@ def concat(a: PointCloud, b: PointCloud, capacity: int) -> PointCloud:
             y = jnp.full((bn, 3), fill, jnp.float32)
         return jnp.concatenate([x, y], axis=0)
 
-    pts = _cat(a.points, b.points)
-    mask = jnp.concatenate([a.mask, b.mask])
-    nrm = _cat(a.normals, b.normals)
-    col = _cat(a.colors, b.colors)
-    big = PointCloud(points=pts, mask=mask, normals=nrm, colors=col)
-    big = compact(big)
-
-    def _cut(x):
-        if x is None:
-            return None
-        if capacity <= x.shape[0]:
-            return x[:capacity]
-        return jnp.concatenate([x, jnp.zeros((capacity - x.shape[0], 3), x.dtype)], axis=0)
-
-    mask = big.mask[:capacity] if capacity <= big.mask.shape[0] else jnp.concatenate(
-        [big.mask, jnp.zeros(capacity - big.mask.shape[0], bool)])
-    return PointCloud(points=_cut(big.points), mask=mask, normals=_cut(big.normals), colors=_cut(big.colors))
+    big = PointCloud(points=_cat(a.points, b.points),
+                     mask=jnp.concatenate([a.mask, b.mask]),
+                     normals=_cat(a.normals, b.normals),
+                     colors=_cat(a.colors, b.colors))
+    return compact_to(big, capacity)

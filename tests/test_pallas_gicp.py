@@ -122,3 +122,47 @@ def test_rotate_cov6_roundtrip(rng):
     want = pallas_gicp.cov6_from_full(
         jnp.einsum("ij,njk,lk->nil", R, jnp.asarray(C), R))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_gicp_aabb_tile_skip_matches_unskipped(rng):
+    """The AABB tile skip is exact: with spatially sorted targets the
+    pruned kernel must produce identical normal equations."""
+    src, tgt = _scene(rng)
+    # Spatially sort the target (by x then y then z) to make tiles compact.
+    order = np.lexsort((tgt[:, 2], tgt[:, 1], tgt[:, 0]))
+    tgt = tgt[order]
+    tgt_pc = pclib.from_numpy(tgt, capacity=512)
+    tgt_pc = normals_ops.estimate_normals(tgt_pc, 0.8, max_nn=12)
+    grid = hashgrid.HashGrid(
+        hashes_sorted=jnp.where(tgt_pc.mask, 0, hashgrid.INT32_MAX),
+        points_sorted=tgt_pc.points, normals_sorted=tgt_pc.normals,
+        order=jnp.arange(512, dtype=jnp.int32),
+        cell_size=jnp.float32(0.5))
+    covs_sorted = normals_ops.covariances_from_normals(tgt_pc)
+    src_pc = pclib.from_numpy(src, capacity=128)
+    src_pc = normals_ops.estimate_normals(src_pc, 0.8, max_nn=12)
+    src_covs = normals_ops.covariances_from_normals(src_pc)
+
+    valid = grid.hashes_sorted != hashgrid.INT32_MAX
+    td, tv = pallas_gicp.prepare_target(grid.points_sorted, covs_sorted, valid)
+    maskf = src_pc.mask.astype(jnp.float32)[:, None]
+    qcov6 = pallas_gicp.cov6_from_full(src_covs)
+    r2 = jnp.full((1, 1), 0.25, jnp.float32)
+    aabb = pallas_gicp.tile_aabbs(grid.points_sorted, valid, 128)
+    out_skip = pallas_gicp.gicp_normal_eq(
+        src_pc.points[None], maskf, qcov6[None], td, tv, r2, t_aabb=aabb,
+        block_m=64, block_n=128, interpret=True)
+    out_full = pallas_gicp.gicp_normal_eq(
+        src_pc.points[None], maskf, qcov6[None], td, tv, r2,
+        block_m=64, block_n=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_skip), np.asarray(out_full),
+                               rtol=1e-6, atol=1e-6)
+
+    # And through the full fused loop.
+    n_src = jnp.sum(src_pc.mask.astype(jnp.float32))
+    res = reg_ops._icp_gicp_fused_batch(
+        src_pc.points[None], maskf, n_src, qcov6[None], td, tv,
+        jnp.eye(4)[None], 0.5, 30, 1e-6, 1e-6, None, 64, 128,
+        t_aabb=aabb, interpret=True)
+    np.testing.assert_allclose(np.asarray(res.transformation[0])[:3, 3],
+                               [-0.08, 0.05, -0.02], atol=0.02)
