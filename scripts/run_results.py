@@ -1,19 +1,20 @@
 """Run the named simulated benchmark sequences end-to-end on the TPU and
 write RESULTS.md (+ results/*.json artifacts).
 
-Each sequence runs as its own subprocess (fresh backend, shared persistent
-XLA cache) via the public CLI — the exact one-command repro line recorded
-in the table.  Uses --max-wall-sec so a slow run stops cleanly instead of
-being killed mid-transfer (which wedges the tunneled chip).
+All sequences run IN ONE PROCESS (one backend session) by calling the
+public CLI's main() directly — on a tunneled single-chip backend, session
+churn is the dominant failure mode (a killed or churned session can wedge
+the remote chip for ~20 min).  The recorded repro line per row is still
+the standalone CLI command.  --max-wall-sec bounds each sequence so the
+whole run finishes cleanly.
 
 Usage:
   env PYTHONPATH=/root/.axon_site:/root/repo python scripts/run_results.py \
-      [--sequences a,b,c] [--budget-per-seq 480] [--out RESULTS.md]
+      [--sequences a,b,c] [--budget-per-seq 300] [--out RESULTS.md]
 """
 import argparse
 import json
 import os
-import subprocess
 import sys
 import time
 
@@ -21,21 +22,21 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_one(name: str, budget: float, results_dir: str) -> dict:
+    from open3d_slam_tpu.cli import mapping
     out_json = os.path.join(results_dir, f"{name}.json")
-    cmd = [sys.executable, "-m", "open3d_slam_tpu.cli.mapping",
-           "--sim", name, "--undistort", "--eval-json", out_json,
-           "--max-wall-sec", str(budget)]
-    print(f"\n=== {name}: {' '.join(cmd)}", flush=True)
+    argv = ["--sim", name, "--undistort", "--eval-json", out_json,
+            "--max-wall-sec", str(budget)]
+    print(f"\n=== {name}: python -m open3d_slam_tpu.cli.mapping "
+          + " ".join(argv), flush=True)
     t0 = time.time()
-    proc = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True,
-                          timeout=budget + 420)  # render+compile headroom
+    try:
+        rc = mapping.main(argv)
+    except Exception as e:
+        print(f"EXCEPTION: {e!r}", flush=True)
+        rc = 99
     wall = time.time() - t0
-    tail = proc.stdout[-1500:]
-    print(tail, flush=True)
-    if proc.returncode != 0:
-        print(proc.stderr[-1500:], flush=True)
-    row = {"sequence": name, "returncode": proc.returncode,
-           "wall_s": round(wall, 1), "cmd": " ".join(cmd[1:])}
+    row = {"sequence": name, "returncode": rc, "wall_s": round(wall, 1),
+           "cmd": f"open3d_slam_tpu.cli.mapping {' '.join(argv)}"}
     if os.path.exists(out_json):
         row.update(json.load(open(out_json)))
     return row
@@ -45,7 +46,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sequences", default=None,
                     help="comma-separated subset (default: all named)")
-    ap.add_argument("--budget-per-seq", type=float, default=480.0)
+    ap.add_argument("--budget-per-seq", type=float, default=300.0)
     ap.add_argument("--out", default=os.path.join(REPO, "RESULTS.md"))
     ap.add_argument("--results-dir", default=os.path.join(REPO, "results"))
     args = ap.parse_args()
@@ -68,7 +69,7 @@ def main():
         "wall-second (reference publishes 3.0x / 7.85x on a desktop CPU,",
         "`documentation/source/usage.rst:97-98`).",
         "",
-        "| sequence | scans | ATE rmse (m) | RPE trans rmse (m) | RPE rot rmse (deg) | drift % | RTF |",
+        "| sequence | poses | ATE rmse (m) | RPE trans rmse (m) | RPE rot rmse (deg) | drift % | RTF |",
         "|---|---|---|---|---|---|---|",
     ]
     for r in rows:
