@@ -218,9 +218,12 @@ def gicp_normal_eq(q_pts: jnp.ndarray, q_mask_f: jnp.ndarray,
     ]
     operands = [r2, q_pts, q_mask_f, q_cov6, td, tv]
     if t_aabb is not None:
-        in_specs.append(pl.BlockSpec((1, 8), lambda b, i, j: (j, 0),
+        # (tiles, 1, 8) with block (1, 1, 8): the TPU lowering requires the
+        # last two block dims be (multiple of 8, multiple of 128) OR equal
+        # to the array dims — (1, 8) on a (tiles, 8) array is neither.
+        in_specs.append(pl.BlockSpec((1, 1, 8), lambda b, i, j: (j, 0, 0),
                                      memory_space=pltpu.VMEM))
-        operands.append(t_aabb)
+        operands.append(t_aabb.reshape(t_aabb.shape[0], 1, 8))
 
     def kernel(r2_ref, qp_ref, qm_ref, qc_ref, td_ref, tv_ref, *rest):
         *maybe_ta, out_ref, bd2, bs = rest
@@ -230,7 +233,7 @@ def gicp_normal_eq(q_pts: jnp.ndarray, q_mask_f: jnp.ndarray,
             x = ref[...]
             return x[0] if x.ndim == 3 else x
         _gicp_tile(r2_ref, qp_ref[0], sq(qm_ref), qc_ref[0], sq(td_ref),
-                   sq(tv_ref), None if ta is None else ta[...],
+                   sq(tv_ref), None if ta is None else ta[0],
                    out_ref, bd2, bs)
 
     return pl.pallas_call(

@@ -11,6 +11,7 @@ keyed by float seconds on device where needed).
 """
 from __future__ import annotations
 
+import sys as _sys
 import time as _time
 from dataclasses import dataclass, field
 from typing import Dict, List
@@ -125,6 +126,8 @@ class TelemetryRegistry:
             for name, t in sorted(self.timers.items()):
                 if t.count:
                     hz = 1000.0 / t.avg_ms if t.avg_ms > 0 else 0.0
+                    # stderr: stdout is reserved for machine-readable output
+                    # (bench JSON line, CLI eval results).
                     print(f"[o3d_slam_tpu] {name}: avg {t.avg_ms:.1f} ms, "
-                          f"{hz:.1f} Hz, n={t.count}")
+                          f"{hz:.1f} Hz, n={t.count}", file=_sys.stderr)
             self._last_print = now
