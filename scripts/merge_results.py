@@ -40,11 +40,26 @@ FOOTER_NOTES = """
 
 Steady-state per-scan latency is 452 ms (r2: ~3.5-4 s — an 8x cut from
 patch compaction, the fused Pallas GICP kernel with per-tile AABB skip,
-approx k-NN normals prepass, and O(N) concat); the remaining gap to the
-100 ms @ 10 Hz budget is per-scan target prep + host/tunnel round-trips,
-tracked for r4.  The sequence-table RTFs above are LOWER than the
-steady-state 0.22x because each bounded run window also pays ~10 jit
-compiles (~100 s) through the tunnel.
+approx k-NN normals prepass, and O(N) concat); the sequence-table RTFs
+above are LOWER than the steady-state 0.22x because each bounded run
+window also pays ~10 jit compiles (~100 s) through the tunnel.
+
+Where the remaining 452 ms goes (per-stage TPU profile,
+`scripts/profile_pipeline.py`, plus a measured tunnel RTT of ~32 ms per
+device->host pull):
+
+  * submap insert — the largest device cost: the single jitted
+    carve+concat+revoxelize program sorts ~278k voxel keys per scan
+    (XLA TPU sort is comparator-based).  r4 plan: incremental sorted
+    merge — sort only the 16k scan keys and merge into the
+    already-sorted map store (O(N) searchsorted + compaction).
+  * per-stage host pulls — ~3 mandatory gate reads per scan (odometry
+    fitness, mapper refinement fitness, submap-switch occupancy), each
+    a ~32 ms tunnel round-trip on this backend (sub-ms on a locally
+    attached chip).  Result scalars are already batched into single
+    `jax.device_get` pulls per stage.
+  * odometry target prep + preprocess — covariance math + fused-NN
+    prepass at 16k capacity, a few tens of ms each.
 
 ## Microbench history (scan2map p50, `bench.py`)
 
