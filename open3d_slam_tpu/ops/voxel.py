@@ -11,9 +11,13 @@ TPU-native replacements for the reference's voxel machinery:
     (``Voxel.cpp:162-191``).
 
 Everything is static-shape: clouds are padded ``PointCloud`` pytrees and
-"removal" toggles mask bits.  Unique-voxel segmentation uses a collision-free
-lexicographic sort of integer voxel coords (3 stable sort passes) rather than
-a hash, so voxel merging is exact.
+"removal" toggles mask bits.  The shared engine is ``merge_clouds_by_voxel``:
+ONE multi-operand ``lax.sort`` that carries every value channel alongside
+the collision-free packed key (measured on TPU v5e: the 8-operand 266k sort
+costs 2.7 ms — cheaper than any argsort + per-channel gather chain, and
+~10x cheaper than a 262k-query ``searchsorted``), then segment means via
+one cumsum and one boundary-row gather.  No scatter (serial on TPU), no
+binary searches, no multi-pass lexicographic fallback.
 """
 from __future__ import annotations
 
@@ -50,16 +54,22 @@ def hash_coords(coords: jnp.ndarray) -> jnp.ndarray:
     return x + y + z
 
 
-# Collision-FREE packed keys for membership tests (carving / overlap /
-# occupancy).  The reference compares exact Vector3i keys
-# (``VoxelHashMap.hpp:25-35`` hashes only for bucketing); an additive int32
-# hash has distant collisions (e.g. coords differing by (-152,-951,-211)
-# collide), and a collision in a membership test deletes a valid map point
-# permanently.  Instead we pack coords relative to a region base:
-# EXACT_EXTENT^3 = 2,146,689,000 < 2^31, so any coord inside a
-# 1290^3-voxel region gets a unique non-negative int32; coords outside get
-# sentinel -1 ("never matches", conservative keep).
+# Collision-FREE packed keys for membership tests and exact voxel merging.
+# The reference compares exact Vector3i keys (``VoxelHashMap.hpp:25-35``
+# hashes only for bucketing); an additive int32 hash has distant collisions,
+# and a collision in a merge/membership test corrupts the map.  Instead we
+# pack coords relative to a region base: EXACT_EXTENT^3 = 2,146,689,000
+# < 2^31, so any coord inside a 1290^3-voxel region gets a unique
+# non-negative int32; coords outside get sentinel -1.
 EXACT_EXTENT = 1290
+
+# Valid-but-unmergeable key for points whose voxel lies outside the pack
+# region.  Strictly greater than any packed key (EXACT_EXTENT^3 - 1) and
+# strictly less than the INT32_MAX empty-slot sentinel; rows with this key
+# are each their own segment in ``merge_clouds_by_voxel`` (kept verbatim,
+# never merged — the conservative fallback the old multi-pass lexicographic
+# sort existed for).
+OUT_OF_REGION = INT32_MAX - 1
 
 
 def pack_coords(coords: jnp.ndarray, base: jnp.ndarray) -> jnp.ndarray:
@@ -76,59 +86,161 @@ def pack_coords(coords: jnp.ndarray, base: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(in_range, packed, jnp.int32(-1))
 
 
+def unpack_key_centers(keys: jnp.ndarray, voxel_size: float,
+                       base: jnp.ndarray) -> jnp.ndarray:
+    """Voxel-center positions decoded from packed keys (inverse of
+    ``pack_coords`` + half-voxel offset).  Caller masks non-decodable keys
+    (>= OUT_OF_REGION)."""
+    e = jnp.int32(EXACT_EXTENT)
+    rz = keys % e
+    ry = (keys // e) % e
+    rx = keys // (e * e)
+    coords = jnp.stack([rx, ry, rz], axis=-1) + base
+    return (coords.astype(jnp.float32) + 0.5) * voxel_size
+
+
 def region_base_from_center(center_coord: jnp.ndarray) -> jnp.ndarray:
     """Region base such that ``center_coord`` sits at the region center."""
     return center_coord - jnp.int32(EXACT_EXTENT // 2)
 
 
-def _lex_order(coords: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
-    """Stable lexicographic argsort of voxel coords; invalid entries last."""
-    n = coords.shape[0]
-    order = jnp.arange(n)
-    # Three stable sort passes: x (least significant) .. then z, then validity.
-    for axis in (0, 1, 2):
-        key = coords[order, axis]
-        order = order[jnp.argsort(key, stable=True)]
-    key = (~valid[order]).astype(jnp.int32)
-    order = order[jnp.argsort(key, stable=True)]
-    return order
+def span_keys(points: jnp.ndarray, valid: jnp.ndarray, voxel_size: float
+              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Packed keys with the region anchored at the cloud's min valid coord.
 
-
-def _order_by_coords(coords: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
-    """Group-identical-voxels argsort: ONE packed-key sort when the valid
-    coord span fits the exact-pack region (always true for crop-bounded
-    scans/submaps), the 4-pass stable lexicographic sort otherwise (e.g.
-    whole-trajectory visualization clouds).  Sorting dominates the voxel
-    pipeline on TPU, so the single-key path is ~4x cheaper.
-
-    Stable within equal keys (original order preserved); invalid entries
-    sort last.  NOTE: the two branches produce different (but each
-    deterministic) voxel orders — (x,y,z)-lex vs (z,y,x)-lex; downstream
-    only relies on identical voxels being contiguous.
+    Crop-bounded clouds (every SLAM-pipeline cloud) always fit the
+    1290^3-voxel region; points beyond it (e.g. stray returns in an
+    unbounded visualization cloud) become OUT_OF_REGION singletons —
+    kept verbatim rather than merged.
     """
+    coords = voxel_coords(points, voxel_size)
     big = jnp.int32(INT32_MAX)
-    cmin = jnp.min(jnp.where(valid[:, None], coords, big), axis=0)
-    span_ok = jnp.all(
-        jnp.max(jnp.where(valid[:, None], coords - cmin, 0), axis=0)
-        < EXACT_EXTENT) & jnp.any(valid)
-
-    def packed(_):
-        key = pack_coords(coords, cmin)        # unique for in-region coords
-        key = jnp.where(valid, key, big)
-        return jnp.argsort(key, stable=True).astype(jnp.int32)
-
-    def lex(_):
-        return _lex_order(coords, valid).astype(jnp.int32)
-
-    return jax.lax.cond(span_ok, packed, lex, None)
+    base = jnp.min(jnp.where(valid[:, None], coords, big), axis=0)
+    packed = pack_coords(coords, base)
+    keys = jnp.where(packed >= 0, packed, jnp.int32(OUT_OF_REGION))
+    return jnp.where(valid, keys, big), base
 
 
-def _segment_starts(coords_sorted: jnp.ndarray, valid_sorted: jnp.ndarray) -> jnp.ndarray:
-    """Boolean start-of-segment flags over lexicographically sorted coords."""
-    prev = jnp.roll(coords_sorted, 1, axis=0)
-    diff = jnp.any(coords_sorted != prev, axis=-1)
-    diff = diff.at[0].set(True)
-    return diff & valid_sorted
+def _norm_safe(v: jnp.ndarray) -> jnp.ndarray:
+    return v / jnp.clip(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12, None)
+
+
+def merge_clouds_by_voxel(keys: jnp.ndarray, points: jnp.ndarray,
+                          normals: Optional[jnp.ndarray],
+                          colors: Optional[jnp.ndarray],
+                          voxel_size: float, base: jnp.ndarray,
+                          out_capacity: int,
+                          exact_passthrough: bool = False) -> PointCloud:
+    """Per-voxel mean of rows sharing a key -> key-sorted padded cloud.
+
+    One multi-operand sort + one cumsum + one boundary-row gather.  Rows
+    with key INT32_MAX are ignored; rows with key OUT_OF_REGION stay as
+    singleton segments.  If there are more segments than ``out_capacity``,
+    a UNIFORM STRIDE of segments is kept (spatially unbiased — a prefix
+    truncation would drop one spatial side of the cloud).
+
+    Precision: positions are summed as VOXEL-LOCAL residuals (±voxel/2),
+    not absolute coordinates — a float32 cumsum over 262k absolute
+    positions far from the origin would lose centimetres-to-metres to
+    cancellation.  The mean is reconstructed as key-decoded voxel center +
+    mean residual, which also guarantees the mean stays inside its voxel.
+    OUT_OF_REGION singletons (key not decodable) carry their absolute
+    position instead; their segment has one row, so the cumsum difference
+    reproduces the position up to the running-sum rounding.  For the
+    submap-insert hot path that error is moot (OUT_OF_REGION points sit
+    >~64 m from the pose); callers with MANY pass-through rows
+    (``voxelize_within_cropping_volume``) set ``exact_passthrough``, which
+    rides the absolute position through the sort as extra operands (moved,
+    never summed — bit-exact) at the cost of one extra output-row gather.
+    """
+    n = keys.shape[0]
+    valid = keys != INT32_MAX
+    w = valid.astype(jnp.float32)
+    in_region = keys < OUT_OF_REGION
+    centers = jnp.where(in_region[:, None],
+                        unpack_key_centers(jnp.maximum(keys, 0), voxel_size,
+                                           base), 0.0)
+    resid = points - centers                           # +-voxel/2 in-region
+
+    def z(a):
+        return jnp.where(valid[:, None], a, 0.0)
+
+    zr = z(resid)
+    ops = (keys, zr[:, 0], zr[:, 1], zr[:, 2], w)
+    if normals is not None:
+        zn = z(normals)
+        ops = ops + (zn[:, 0], zn[:, 1], zn[:, 2])
+    if colors is not None:
+        zc = z(colors)
+        ops = ops + (zc[:, 0], zc[:, 1], zc[:, 2])
+    n_sum = len(ops) - 1
+    if exact_passthrough:
+        ops = ops + (points[:, 0], points[:, 1], points[:, 2])
+    sorted_ops = jax.lax.sort(ops, num_keys=1)
+    ks = sorted_ops[0]
+    vals = jnp.stack(sorted_ops[1:1 + n_sum], axis=1)  # (n, 4 [+3] [+3])
+    abs_sorted = (jnp.stack(sorted_ops[1 + n_sum:], axis=1)
+                  if exact_passthrough else None)
+    vs_row = ks != INT32_MAX
+
+    starts = ((ks != jnp.roll(ks, 1)) | (ks == OUT_OF_REGION)) & vs_row
+    starts = starts.at[0].set(vs_row[0])
+
+    csum = jnp.concatenate([jnp.zeros((1, vals.shape[1]), jnp.float32),
+                            jnp.cumsum(vals, axis=0)], axis=0)
+    # Segment-start position table: one 1-op sort; segment s spans
+    # [bounded[s], bounded[s+1]).  bounded_ext[s] == n for s >= n_segments,
+    # and csum[n] only sums VALID rows (invalid rows were zeroed), so the
+    # tail needs no special case: the last segment's end diff is exact and
+    # empty output slots diff to zero.
+    bounded = jnp.sort(jnp.where(starts, jnp.arange(n, dtype=jnp.int32),
+                                 jnp.int32(n)))
+    bounded_ext = jnp.concatenate([bounded, jnp.full((1,), n, jnp.int32)])
+    ks_pad = jnp.concatenate([ks, jnp.full((1,), INT32_MAX, jnp.int32)])
+    n_segments = jnp.sum(starts.astype(jnp.int32))
+    C = out_capacity
+
+    def contiguous(_):
+        edges = bounded_ext[jnp.minimum(jnp.arange(C + 1), n)]
+        g = csum[edges]                                # ONE (C+1)-row gather
+        return g[1:] - g[:-1], ks_pad[edges[:C]], edges[:C]
+
+    def strided(_):
+        # n_segments > C: keep a uniform stride of segments.
+        stride = n_segments.astype(jnp.float32) / jnp.float32(C)
+        sidx = jnp.floor(jnp.arange(C, dtype=jnp.float32) * stride
+                         ).astype(jnp.int32)
+        s = bounded_ext[sidx]
+        e = bounded_ext[jnp.minimum(sidx + 1, n)]
+        return csum[e] - csum[s], ks_pad[s], s
+
+    d, out_keys, first_row = jax.lax.cond(n_segments > C, strided,
+                                          contiguous, None)
+
+    count = d[:, 3]
+    mask = count > 0.5
+    denom = jnp.clip(count, 1.0, None)[:, None]
+    mean_resid = d[:, 0:3] / denom
+    out_in_region = out_keys < OUT_OF_REGION
+    out_centers = jnp.where(
+        out_in_region[:, None],
+        unpack_key_centers(jnp.maximum(out_keys, 0), voxel_size, base), 0.0)
+    pts = out_centers + mean_resid
+    if exact_passthrough:
+        # singleton pass-through rows: bit-exact position from the sorted
+        # absolute-value operands instead of the cumsum difference
+        ap = abs_sorted[jnp.minimum(first_row, n - 1)]
+        pts = jnp.where(out_in_region[:, None], pts, ap)
+    off = 4
+    out_nrm = None
+    if normals is not None:
+        out_nrm = jnp.where(mask[:, None], _norm_safe(d[:, off:off + 3]), 0.0)
+        off += 3
+    out_col = None
+    if colors is not None:
+        out_col = d[:, off:off + 3] / denom
+    return PointCloud(points=jnp.where(mask[:, None], pts, 0.0), mask=mask,
+                      normals=out_nrm, colors=out_col)
 
 
 @partial(jax.jit, static_argnames=("voxel_size", "out_capacity"))
@@ -138,90 +250,34 @@ def voxel_downsample(pc: PointCloud, voxel_size: float,
 
     Matches Open3D ``VoxelDownSample`` semantics (mean aggregation).  Output
     is a padded cloud of ``out_capacity`` (default: same as input capacity),
-    valid points compacted to the front in lexicographic voxel order.
-
-    TPU note: implemented as sort + prefix-sum + gather (segment sums via
-    cumsum differences at segment boundaries) — XLA scatter is serial on TPU
-    and ~1000x slower, so no ``segment_sum``/``.at[].add`` anywhere here.
+    valid points compacted to the front in packed-key (spatially coherent)
+    order — downstream fused kernels rely on that coherence for tile
+    skipping.
     """
-    n = pc.capacity
-    out_capacity = out_capacity or n
-    coords = voxel_coords(pc.points, voxel_size)
-    order = _order_by_coords(coords, pc.mask)
-    coords_s = coords[order]
-    valid_s = pc.mask[order]
-    starts = _segment_starts(coords_s, valid_s)
-    seg_id = jnp.cumsum(starts.astype(jnp.int32)) - 1
-    # Invalid points (sorted to the tail) get a sentinel so boundary searches
-    # over seg_id stay monotonic.
-    seg_id = jnp.where(valid_s, seg_id, jnp.int32(n + 1))
-
-    # Segment boundaries for output slots 0..out_capacity-1.  When the
-    # unique-voxel count exceeds out_capacity, select a UNIFORM stride of
-    # segments instead of the lexicographic prefix — a prefix truncation
-    # silently drops one spatial side of the cloud (lowest-z voxels sort
-    # first), which starves downstream feature matching; a stride keeps the
-    # subsample spatially unbiased.
-    n_segments = jnp.max(jnp.where(valid_s, seg_id, -1)) + 1
-    idx = jnp.arange(out_capacity, dtype=jnp.int32)
-    stride = n_segments.astype(jnp.float32) / jnp.float32(out_capacity)
-    strided = jnp.floor(idx.astype(jnp.float32) * stride).astype(jnp.int32)
-    slots = jnp.where(n_segments > out_capacity, strided, idx)
-    # Segment-start position table via ONE int sort + gathers: measured on
-    # TPU v5e this is ~4x cheaper than the two vectorized binary searches
-    # (searchsorted costs ~queries*log(n) serial gather steps; a 278k int32
-    # sort is ~12 ms vs ~48 ms per searchsorted at the submap-insert size).
-    # bounded[s] = start position of segment s (s < n_segments), n beyond;
-    # valid entries are contiguous at the front, so segment s ends where
-    # segment s+1 starts, and the LAST segment ends at the valid count.
-    bounded = jnp.sort(jnp.where(starts, jnp.arange(n, dtype=jnp.int32),
-                                 jnp.int32(n)))
-    n_valid = jnp.sum(valid_s.astype(jnp.int32))
-    start_pos = bounded[jnp.minimum(slots, n - 1)]
-    nxt = bounded[jnp.minimum(slots + 1, n - 1)]
-    end_pos = jnp.where(slots + 1 == n_segments, n_valid,
-                        jnp.where(slots + 1 > n_segments, start_pos, nxt))
-
-    def seg_sum(vals_sorted):
-        vals_sorted = jnp.where(valid_s[:, None], vals_sorted, 0.0)
-        csum = jnp.concatenate(
-            [jnp.zeros((1, vals_sorted.shape[1]), vals_sorted.dtype),
-             jnp.cumsum(vals_sorted, axis=0)], axis=0)
-        return csum[end_pos] - csum[start_pos]
-
-    counts = (end_pos - start_pos).astype(jnp.float32)[:, None]
-    denom = jnp.clip(counts, 1.0, None)
-    pts = seg_sum(pc.points[order]) / denom
-    mask = counts[:, 0] > 0
-
-    normals = None
-    if pc.normals is not None:
-        normals = seg_sum(pc.normals[order]) / denom
-        nn = jnp.linalg.norm(normals, axis=-1, keepdims=True)
-        normals = normals / jnp.clip(nn, 1e-12, None)
-    colors = None
-    if pc.colors is not None:
-        colors = seg_sum(pc.colors[order]) / denom
-    return PointCloud(points=pts, mask=mask, normals=normals, colors=colors)
+    out_capacity = out_capacity or pc.capacity
+    keys, base = span_keys(pc.points, pc.mask, voxel_size)
+    return merge_clouds_by_voxel(keys, pc.points, pc.normals, pc.colors,
+                                 voxel_size, base, out_capacity)
 
 
 @partial(jax.jit, static_argnames=("voxel_size",))
 def remove_duplicate_points_in_voxels(pc: PointCloud, voxel_size: float) -> PointCloud:
-    """Keep only the first point (in lexicographic voxel order) per voxel.
+    """Keep only the first point (in scan order) per voxel.
 
     Mirrors ``VoxelMap::removeDuplicatePointsWithinSameVoxels``
-    (``Voxel.cpp:162-191``).  Mask-only operation (no compaction).
+    (``Voxel.cpp:162-191``).  Mask-only operation (no compaction).  Two
+    2-operand sorts: key order to find segment firsts, then original-index
+    order to invert the permutation (gather-free inverse).
     """
-    coords = voxel_coords(pc.points, voxel_size)
-    order = _order_by_coords(coords, pc.mask)
-    coords_s = coords[order]
-    valid_s = pc.mask[order]
-    starts = _segment_starts(coords_s, valid_s)
-    # keep[order[i]] = starts[i]  — apply the inverse permutation by gather
-    # (scatter is serial on TPU).
-    inv = jnp.argsort(order)
-    keep = starts[inv]
-    return pc.with_(mask=pc.mask & keep)
+    keys, _ = span_keys(pc.points, pc.mask, voxel_size)
+    iota = jnp.arange(pc.capacity, dtype=jnp.int32)
+    ks, idx_sorted = jax.lax.sort((keys, iota), num_keys=1)
+    vs_row = ks != INT32_MAX
+    starts = ((ks != jnp.roll(ks, 1)) | (ks == OUT_OF_REGION)) & vs_row
+    starts = starts.at[0].set(vs_row[0])
+    # invert: sort (original_index, keep_flag) by original index
+    _, keep = jax.lax.sort((idx_sorted, starts.astype(jnp.int32)), num_keys=1)
+    return pc.with_(mask=pc.mask & (keep > 0))
 
 
 @partial(jax.jit, static_argnames=("voxel_size", "out_capacity"))
@@ -233,19 +289,18 @@ def voxelize_within_cropping_volume(pc: PointCloud, voxel_size: float,
     Mirrors ``voxelizeWithinCroppingVolume`` (``helpers.cpp:115-183``): points
     outside the cropping volume are kept verbatim, points inside are merged
     per voxel.  If voxel_size <= 0 the input is returned unchanged (reference
-    behavior).
+    behavior).  Outside points ride the same fused merge as OUT_OF_REGION
+    singleton segments.
     """
     out_capacity = out_capacity or pc.capacity
     if voxel_size <= 0:
         return pc
     inside = inside & pc.mask
-    outside = pc.mask & ~inside
-    pc_in = pc.with_(mask=inside)
-    down = voxel_downsample(pc_in, voxel_size, out_capacity=pc.capacity)
-    # Concatenate downsampled-inside + untouched-outside, then compact.
-    from open3d_slam_tpu.utils import pointcloud as pclib
-    merged = pclib.concat(down, pc.with_(mask=outside), capacity=out_capacity)
-    return merged
+    keys, base = span_keys(pc.points, inside, voxel_size)
+    keys = jnp.where(pc.mask & ~inside, jnp.int32(OUT_OF_REGION), keys)
+    return merge_clouds_by_voxel(keys, pc.points, pc.normals, pc.colors,
+                                 voxel_size, base, out_capacity,
+                                 exact_passthrough=True)
 
 
 @partial(jax.jit, static_argnames=("num_samples",))

@@ -49,18 +49,25 @@ def make_pose_hypotheses(map_points: np.ndarray, map_mask: np.ndarray,
     return T[:num_hypotheses]
 
 
-@partial(jax.jit, static_argnames=("coarse_iters", "refine_iters", "top_k"))
+@partial(jax.jit, static_argnames=("coarse_iters", "mid_iters",
+                                   "refine_iters", "top_k"))
 def _batched_localize(scan_small: PointCloud, scan_full: PointCloud,
                       coarse_grid: hashgrid.HashGrid,
+                      mid_grid: hashgrid.HashGrid,
                       grid: hashgrid.HashGrid, inits: jnp.ndarray,
-                      coarse_corr_dist, max_corr_dist,
-                      coarse_iters: int = 10, refine_iters: int = 30,
-                      top_k: int = 8):
-    """Coarse wide-correspondence sweep on the subsampled scan, then refine
-    the top_k on the full scan at the configured correspondence distance.
-
-    The coarse stage's correspondence distance must be ~half the hypothesis
-    grid spacing so every seed has a basin to fall into.
+                      coarse_corr_dist, mid_corr_dist, max_corr_dist,
+                      coarse_iters: int = 10, mid_iters: int = 15,
+                      refine_iters: int = 20, top_k: int = 64):
+    """Three-stage batched localization funnel:
+      1. coarse point-to-plane sweep of ALL hypotheses at ~grid-spacing
+         correspondence distance (subsampled scan) — lands within ~1-2 m;
+      2. rank by tight-distance score on the FULL downsampled scan, keep a
+         GENEROUS top_k (measured: the true basin can rank ~35th of 256
+         on the coarse score);
+      3. mid-distance POINT-TO-POINT pull-in of the top_k (point-to-plane
+         diverges from ~1.4 m offsets on plane-dominated scenes; P2P's
+         translation basin is much wider), then tight point-to-plane
+         refinement; winner by fitness - rmse.
     """
     nn = "bruteforce" if jax.default_backend() == "tpu" else "probe"
     coarse = jax.vmap(lambda T0: reg_ops.icp_point_to_plane(
@@ -69,13 +76,16 @@ def _batched_localize(scan_small: PointCloud, scan_full: PointCloud,
     # Wide-distance fitness saturates (everything snaps to the dominant
     # plane); rank candidates by TIGHT-distance fitness at the coarse result.
     tight = jax.vmap(lambda T0: reg_ops.evaluate_registration(
-        scan_small, grid, T0, max_corr_dist, nn_method=nn))(coarse.transformation)
+        scan_full, grid, T0, max_corr_dist, nn_method=nn))(coarse.transformation)
     score = tight.fitness - tight.inlier_rmse
     _, best_idx = jax.lax.top_k(score, top_k)
     best_inits = coarse.transformation[best_idx]
+    mid = jax.vmap(lambda T0: reg_ops.icp_point_to_point(
+        scan_full, mid_grid, T0, mid_corr_dist, max_iterations=mid_iters,
+        nn_method=nn))(best_inits)
     refined = jax.vmap(lambda T0: reg_ops.icp_point_to_plane(
         scan_full, grid, T0, max_corr_dist, max_iterations=refine_iters,
-        nn_method=nn))(best_inits)
+        nn_method=nn))(mid.transformation)
     score_r = refined.fitness - refined.inlier_rmse
     win = jnp.argmax(score_r)
     return refined.transformation[win], refined.fitness[win]
@@ -106,7 +116,10 @@ def global_localize(scan: PointCloud, map_cloud: PointCloud,
     spacing = extent / max(n_xy - 1, 1)
     coarse_corr = max(icp.max_correspondence_distance, 0.75 * spacing)
     coarse_grid = hashgrid.build(m, cell_size=coarse_corr)
+    mid_corr = max(2.0 * icp.max_correspondence_distance, 2.0)
+    mid_grid = hashgrid.build(m, cell_size=mid_corr)
     T, fitness = _batched_localize(
-        scan_small, scan_v, coarse_grid, grid, jnp.asarray(inits),
-        coarse_corr, icp.max_correspondence_distance)
+        scan_small, scan_v, coarse_grid, mid_grid, grid, jnp.asarray(inits),
+        coarse_corr, mid_corr, icp.max_correspondence_distance,
+        top_k=min(64, int(inits.shape[0])))
     return np.asarray(T, np.float64), float(fitness)
