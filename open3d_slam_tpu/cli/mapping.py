@@ -92,8 +92,8 @@ def run_sequence(slam: SlamWrapper, seq: datasets.SyntheticSequence,
         points = np.concatenate(accum, axis=0)
         accum = []
         # Backpressure (RosbagRangeDataProcessorRos.cpp:69-84): the pipeline
-        # is sequential here, so "buffers full" cannot happen, but the hook
-        # stays for the async driver.
+        # keeps at most one scan in flight, so "buffers full" cannot happen,
+        # but the hook stays for the async driver.
         while slam.is_odometry_buffer_full() or slam.is_mapping_buffer_full():
             slam.process_queued()
         slam.process_scan(points, ts)
@@ -195,6 +195,9 @@ def main(argv=None) -> int:
                 "rpe_rot_rmse_deg": round(rpe_res.rot_rmse_deg, 4),
                 "drift_pct": round(rpe_res.drift_pct, 3),
                 "rtf": round(rtf, 3),
+                # run-health counters + exact repro invocation
+                **slam.get_health(),
+                "argv": list(argv) if argv is not None else sys.argv[1:],
             }
     if args.eval_json:
         import json

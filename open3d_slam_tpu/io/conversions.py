@@ -64,3 +64,48 @@ def pointcloud_to_structured(pc: PointCloud) -> np.ndarray:
         rgb = (c[:, 0] << 16) | (c[:, 1] << 8) | c[:, 2]
         out["rgb"] = rgb.view(np.float32)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Triangle meshes — ROS-free analog of the reference's PolygonMesh msg
+# round-trip (open3d_conversions.h:76-79, open3d_conversions.cpp:260-307):
+# the msg is a vertices point cloud + a list of 3-index polygons.  Here the
+# wire format is a dict {"cloud": structured vertex array, "polygons":
+# (T, 3) int32 index array}.
+
+
+class TriangleMesh:
+    """Minimal host-side triangle mesh (vertices/triangles[/colors]) — the
+    engine's analog of ``open3d::geometry::TriangleMesh`` as used by the
+    conversion layer."""
+
+    def __init__(self, vertices: np.ndarray, triangles: np.ndarray,
+                 vertex_colors: Optional[np.ndarray] = None):
+        self.vertices = np.asarray(vertices, np.float32).reshape(-1, 3)
+        self.triangles = np.asarray(triangles, np.int32).reshape(-1, 3)
+        self.vertex_colors = (None if vertex_colors is None else
+                              np.asarray(vertex_colors, np.float32).reshape(-1, 3))
+
+
+def mesh_to_polygon_msg(mesh: TriangleMesh) -> dict:
+    """TriangleMesh -> PolygonMesh-style dict (``open3dToRos`` mesh path,
+    ``open3d_conversions.cpp:260-286``): vertices ride the cloud conversion,
+    triangles become the polygon index list."""
+    cloud = pclib.from_numpy(mesh.vertices,
+                             colors=mesh.vertex_colors)
+    return {
+        "cloud": pointcloud_to_structured(cloud),
+        "polygons": mesh.triangles.copy(),
+    }
+
+
+def polygon_msg_to_mesh(msg: dict) -> TriangleMesh:
+    """PolygonMesh-style dict -> TriangleMesh (``rosToOpen3d`` mesh path,
+    ``open3d_conversions.cpp:292-307``)."""
+    pc = structured_to_pointcloud(msg["cloud"])
+    data = pclib.to_numpy(pc)
+    tri = np.asarray(msg["polygons"], np.int32).reshape(-1, 3)
+    if len(tri) and tri.max() >= data["points"].shape[0]:
+        raise ValueError("polygon index out of range of the vertex cloud")
+    return TriangleMesh(data["points"], tri,
+                        vertex_colors=data.get("colors"))

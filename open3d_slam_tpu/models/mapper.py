@@ -46,6 +46,10 @@ class Mapper:
         self.is_new_initial_value_set = False
         self.is_ignore_odometry_prediction = False
         self.preprocessed_scan: Optional[PointCloud] = None
+        # health counters (reference prints these as online warnings,
+        # Mapper.cpp:151-156, :170-176; surfaced in the CLI eval JSON)
+        self.n_refinement_skips = 0
+        self.n_merge_skips_min_movement = 0
 
     # ------------------------------------------------------------------
 
@@ -82,13 +86,27 @@ class Mapper:
 
     # ------------------------------------------------------------------
 
-    def add_range_measurement(self, raw_scan: PointCloud, timestamp: float) -> bool:
-        """``addRangeMeasurement`` (``Mapper.cpp:101-181``)."""
+    def add_range_measurement(self, raw_scan: PointCloud, timestamp: float,
+                              odom_pending=None) -> bool:
+        """``addRangeMeasurement`` (``Mapper.cpp:101-181``).
+
+        With ``odom_pending`` (an ``OdometryPending`` from
+        ``LidarOdometry.add_range_scan_async``), the odometry pose enters
+        the motion prediction as a TRACED device value and the scalar pull
+        of BOTH stages is batched into ONE device->host round-trip per scan
+        (each separate blocking pull costs a full tunnel RTT).  Host gate
+        logic and bookkeeping are bit-identical either way.
+        """
         p = self.params
         self.submaps.set_map_to_range_sensor(self.map_to_range_sensor)
 
+        def _finalize_odom():
+            if odom_pending is not None:
+                odom_pending.owner.finalize_pending()
+
         # First scan path.
         if self.submaps.get_active_submap().is_empty():
+            _finalize_odom()
             if p.is_use_initial_map:
                 assert self.scan_to_map_reg.is_merge_scan_valid(raw_scan), \
                     "Init map invalid (needs normals for this registration type)"
@@ -102,21 +120,38 @@ class Mapper:
 
         if (self.last_measurement_timestamp is not None and
                 timestamp < self.last_measurement_timestamp):
+            _finalize_odom()
             print("MAPPER WARNING: measurements came out of order!")
             return False
 
-        is_odom_okay = self.odom_to_range_sensor_buffer.has(timestamp)
-
         # Odometry motion prediction (Mapper.cpp:132-137).
-        map_to_range_sensor_estimate = self.map_to_range_sensor_prev.copy()
-        if (is_odom_okay and not self.is_new_initial_value_set and
-                not self.is_ignore_odometry_prediction and
-                self.last_measurement_timestamp is not None):
-            odom_now = self.odom_to_range_sensor_buffer.lookup_clamped(timestamp)
+        want_prediction = (not self.is_new_initial_value_set and
+                           not self.is_ignore_odometry_prediction and
+                           self.last_measurement_timestamp is not None)
+        if odom_pending is not None and want_prediction:
+            # Device-side: estimate = map_prev @ inv(odom_prev) @ odom_now,
+            # falling back to map_prev when this scan's odometry failed
+            # (the reference's is_odom_okay guard).  odom_prev comes from
+            # the finalized float64 host chain; odom_now is the pending
+            # device pose — no host round-trip.
             odom_prev = self.odom_to_range_sensor_buffer.lookup_clamped(
                 self.last_measurement_timestamp)
-            odometry_motion = np.linalg.inv(odom_prev) @ odom_now
-            map_to_range_sensor_estimate = self.map_to_range_sensor_prev @ odometry_motion
+            M = jnp.asarray(
+                self.map_to_range_sensor_prev @ np.linalg.inv(odom_prev),
+                jnp.float32)
+            prev32 = jnp.asarray(self.map_to_range_sensor_prev, jnp.float32)
+            map_to_range_sensor_estimate = jnp.where(
+                odom_pending.ok, M @ odom_pending.cum_new, prev32)
+        else:
+            is_odom_okay = (odom_pending is not None or
+                            self.odom_to_range_sensor_buffer.has(timestamp))
+            map_to_range_sensor_estimate = self.map_to_range_sensor_prev.copy()
+            if is_odom_okay and want_prediction and odom_pending is None:
+                odom_now = self.odom_to_range_sensor_buffer.lookup_clamped(timestamp)
+                odom_prev = self.odom_to_range_sensor_buffer.lookup_clamped(
+                    self.last_measurement_timestamp)
+                odometry_motion = np.linalg.inv(odom_prev) @ odom_now
+                map_to_range_sensor_estimate = self.map_to_range_sensor_prev @ odometry_motion
         self.is_ignore_odometry_prediction = False
 
         processed = self.scan_to_map_reg.process_for_scan_matching_and_merging(
@@ -127,17 +162,37 @@ class Mapper:
         self.preprocessed_scan = processed.match
 
         if self.is_new_initial_value_set:
+            _finalize_odom()
             self.map_to_range_sensor_prev = self.map_to_range_sensor.copy()
             self.map_to_range_sensor_buffer.push(timestamp, self.map_to_range_sensor)
             self.is_new_initial_value_set = False
             self.is_ignore_odometry_prediction = True
             return True
 
-        # ONE device->host transfer for all result scalars.
-        fitness, result_T = jax.device_get((result.fitness, result.transformation))
+        # ONE device->host transfer per scan: queued odometry pendings +
+        # scan-to-map result scalars together.
+        if odom_pending is not None:
+            owner = odom_pending.owner
+            # Only pendings up to THIS measurement: in pipelined replay the
+            # next scan's odometry is already in flight, and waiting on it
+            # here would forfeit the stage overlap.
+            pend = [q for q in owner._pending
+                    if q.timestamp <= odom_pending.timestamp]
+            pulled = jax.device_get(
+                ([(q.fitness, q.rmse, q.T) for q in pend],
+                 result.fitness, result.transformation))
+            owner.finalize_pending(pulled[0], upto=odom_pending.timestamp)
+            if not self.odom_to_range_sensor_buffer.has(timestamp):
+                print("WARNING: odom buffer does not have the desired "
+                      "transform; scan-to-map refinement attempted anyway")
+            fitness, result_T = pulled[1], pulled[2]
+        else:
+            fitness, result_T = jax.device_get(
+                (result.fitness, result.transformation))
         fitness = float(fitness)
         if (not p.is_ignore_min_refinement_fitness and
                 fitness < p.scan_matcher.min_refinement_fitness):
+            self.n_refinement_skips += 1
             print(f"Skipping the refinement step, fitness: {fitness:.3f}")
             return False
 
@@ -158,6 +213,8 @@ class Mapper:
             self.submaps.insert_scan(raw_scan, processed.merge,
                                      self.map_to_range_sensor, timestamp)
             self.map_to_range_sensor_last_scan_insertion = self.map_to_range_sensor.copy()
+        else:
+            self.n_merge_skips_min_movement += 1
 
         self.last_measurement_timestamp = timestamp
         self.map_to_range_sensor_prev = self.map_to_range_sensor.copy()

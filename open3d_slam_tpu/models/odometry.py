@@ -55,6 +55,28 @@ def preprocess_chain(cloud: PointCloud, cropper, radius, key,
     return down
 
 
+class OdometryPending:
+    """Device-side result of one async odometry step.
+
+    Lets the mapper consume the odometry pose as a TRACED value (device-side
+    motion prediction) and batch the device->host scalar pull of BOTH stages
+    into one round-trip per scan — on a tunneled chip each separate blocking
+    pull costs a full RTT (~32 ms).  ``finalize`` replays the exact host
+    bookkeeping (gate print, float64 cumulative update, buffer push) once
+    the values arrive.
+    """
+    __slots__ = ("owner", "timestamp", "fitness", "rmse", "T", "cum_new", "ok")
+
+    def __init__(self, owner, timestamp, fitness, rmse, T, cum_new, ok):
+        self.owner = owner
+        self.timestamp = timestamp
+        self.fitness = fitness      # device scalar
+        self.rmse = rmse            # device scalar
+        self.T = T                  # device (4,4)
+        self.cum_new = cum_new      # device (4,4): cumulative AFTER this scan
+        self.ok = ok                # device bool: fitness gate
+
+
 class LidarOdometry:
     def __init__(self, params: Optional[OdometryParameters] = None,
                  processed_capacity: int = 16384,
@@ -69,6 +91,9 @@ class LidarOdometry:
         self.last_timestamp: Optional[float] = None
         self._initial_transform: Optional[np.ndarray] = None
         self._rng_key = jax.random.PRNGKey(0)
+        self._cum_dev = jnp.eye(4)          # device mirror of the cumulative
+        self._pending: list = []            # unfinalized OdometryPending, FIFO
+        self.n_failed = 0                   # fitness-gate rejections (health)
 
     # ------------------------------------------------------------------
 
@@ -96,13 +121,21 @@ class LidarOdometry:
 
     # ------------------------------------------------------------------
 
-    def add_range_scan(self, cloud: PointCloud, timestamp: float) -> bool:
-        """Process one scan; returns isOdomOkay (``Odometry.cpp:32-79``)."""
+    def add_range_scan_async(self, cloud: PointCloud, timestamp: float):
+        """Dispatch one odometry step WITHOUT blocking on device results.
+
+        Returns an ``OdometryPending`` (device scalars; host state updates
+        deferred to ``finalize_pending``), or True for the first scan
+        (accepted immediately, no registration), or False for an
+        out-of-order drop.  ``Odometry.cpp:32-79`` semantics.
+        """
         if self.prev is None:
             processed = self.preprocess(cloud)
             self.prev = self.registration.prepare_target(processed)
             self.odom_buffer.push(timestamp, self.odom_to_range_sensor_cumulative)
             self.last_timestamp = timestamp
+            self._cum_dev = jnp.asarray(self.odom_to_range_sensor_cumulative,
+                                        jnp.float32)
             return True
 
         if self.last_timestamp is not None and timestamp < self.last_timestamp:
@@ -113,30 +146,82 @@ class LidarOdometry:
         prepared = self.registration.prepare_target(processed)
         # Register PREV (source) against NEW (target), init = identity.
         result = self.registration.register(self.prev.cloud, prepared, jnp.eye(4))
-        # ONE device->host transfer for all result scalars (each separate
-        # pull pays a full tunnel round-trip).
-        fitness, rmse, T = jax.device_get(
-            (result.fitness, result.inlier_rmse, result.transformation))
-        fitness = float(fitness)
-        is_odom_okay = fitness > 0.1  # magic gate, Odometry.cpp:51
-        if not is_odom_okay:
-            print(f"Odometry failed! fitness={fitness:.3f} "
-                  f"rmse={float(rmse):.3f}")
-            self.prev = prepared
-            return False
-
-        T = np.asarray(T, np.float64)
+        ok = result.fitness > 0.1   # magic gate, Odometry.cpp:51
+        from open3d_slam_tpu.utils import se3
         if self._initial_transform is not None:
-            self.odom_to_range_sensor_cumulative = self._initial_transform.copy()
-            self._initial_transform = None
+            # setInitialTransform already assigned the cumulative host-side
+            # (Odometry.cpp:102-110); the device mirror holds it too, and a
+            # success consumes the flag WITHOUT composing T^-1.
+            cum_new = self._cum_dev
         else:
             # cumulative *= T^-1  (Odometry.cpp:72)
-            self.odom_to_range_sensor_cumulative = (
-                self.odom_to_range_sensor_cumulative @ np.linalg.inv(T))
+            cum_new = jnp.where(
+                ok, self._cum_dev @ se3.inverse(result.transformation),
+                self._cum_dev)
+        self._cum_dev = cum_new
         self.prev = prepared
-        self.odom_buffer.push(timestamp, self.odom_to_range_sensor_cumulative)
+        pending = OdometryPending(self, timestamp, result.fitness,
+                                  result.inlier_rmse, result.transformation,
+                                  cum_new, ok)
+        self._pending.append(pending)
         self.last_timestamp = timestamp
-        return True
+        return pending
+
+    def finalize_pending(self, pulled=None, upto: Optional[float] = None) -> bool:
+        """Resolve queued async results into EXACT host state (float64
+        cumulative, gate prints, buffer pushes) — one device pull for the
+        whole queue unless ``pulled`` (pre-fetched values, in queue order)
+        is provided by the caller's batched transfer.  ``upto`` limits
+        finalization to pendings with timestamp <= upto (pipelined replay
+        keeps the next scan's odometry in flight).  Returns the last
+        finalized step's isOdomOkay."""
+        if not self._pending:
+            return True
+        if upto is None:
+            pend, self._pending = self._pending, []
+        else:
+            pend = [q for q in self._pending if q.timestamp <= upto]
+            self._pending = [q for q in self._pending if q.timestamp > upto]
+        if not pend:
+            return True
+        if pulled is None:
+            pulled = jax.device_get([(p.fitness, p.rmse, p.T) for p in pend])
+        last_ok = True
+        for p, (fitness, rmse, T) in zip(pend, pulled):
+            fitness = float(fitness)
+            last_ok = fitness > 0.1
+            if not last_ok:
+                self.n_failed += 1
+                print(f"Odometry failed! fitness={fitness:.3f} "
+                      f"rmse={float(rmse):.3f}")
+                continue
+            if self._initial_transform is not None:
+                self.odom_to_range_sensor_cumulative = self._initial_transform.copy()
+                self._initial_transform = None
+            else:
+                # float64 host composition (the float32 device mirror is
+                # only the mapper's motion-prediction input).
+                self.odom_to_range_sensor_cumulative = (
+                    self.odom_to_range_sensor_cumulative @
+                    np.linalg.inv(np.asarray(T, np.float64)))
+            self.odom_buffer.push(p.timestamp, self.odom_to_range_sensor_cumulative)
+        # Re-sync the device mirror so float32 drift never accumulates
+        # across scans (host float64 chain is the source of truth) — but
+        # only when nothing is in flight: an unfinalized pending already
+        # chained its cum_new off the CURRENT mirror, and overwriting it
+        # with the older host value would fork the pose chain.
+        if not self._pending:
+            self._cum_dev = jnp.asarray(self.odom_to_range_sensor_cumulative,
+                                        jnp.float32)
+        return last_ok
+
+    def add_range_scan(self, cloud: PointCloud, timestamp: float) -> bool:
+        """Process one scan; returns isOdomOkay (``Odometry.cpp:32-79``).
+        Blocking form: dispatch + immediate finalize (one device pull)."""
+        r = self.add_range_scan_async(cloud, timestamp)
+        if isinstance(r, OdometryPending):
+            return self.finalize_pending()
+        return r
 
     # ------------------------------------------------------------------
 
@@ -153,3 +238,5 @@ class LidarOdometry:
         """``setInitialTransform`` (``Odometry.cpp:102-110``)."""
         self._initial_transform = np.asarray(T, np.float64).copy()
         self.odom_to_range_sensor_cumulative = np.asarray(T, np.float64).copy()
+        self._cum_dev = jnp.asarray(self.odom_to_range_sensor_cumulative,
+                                    jnp.float32)

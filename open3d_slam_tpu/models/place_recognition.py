@@ -9,8 +9,11 @@ Mirror of the reference's ``PlaceRecognition``
     min correspondence-set-size gate (:86-90);
   * drift consistency check on the transform (roll/pitch/yaw/xyz bounds,
     ``isRegistrationConsistent`` :182-229);
-  * overlap extraction (:103-106) + point-to-plane ICP refinement run to
-    convergence (:111) + refinement fitness gate + second consistency check;
+  * overlap extraction (:103-106) + ICP refinement run to convergence with
+    the MAPPER's registration type (GICP for every deployed config —
+    ``updateRegistrationAlgorithm``, :44-49, rebinds the scan-matcher
+    factory with 100 iterations at the place-recognition correspondence
+    distance) + refinement fitness gate + second consistency check;
   * 6x6 information matrix from the aligned overlap clouds (:148-150).
 """
 from __future__ import annotations
@@ -38,6 +41,20 @@ class PlaceRecognition:
         self.num_ransac_hypotheses = num_ransac_hypotheses
         self._key = jax.random.PRNGKey(7)
         self.recognition_counter = 0
+        # ``updateRegistrationAlgorithm`` (PlaceRecognition.cpp:44-49): the
+        # refinement uses the MAPPER's registration type (GICP in every
+        # deployed config), run to convergence at the place-recognition
+        # correspondence distance.
+        import dataclasses as _dc
+        from open3d_slam_tpu.models.cloud_registration import (
+            CloudRegistrationStrategy)
+        icp = _dc.replace(
+            params.scan_matcher.icp,
+            max_num_iter=ICP_RUN_UNTIL_CONVERGENCE_ITERS,
+            max_correspondence_distance=(
+                params.place_recognition.max_icp_correspondence_distance))
+        self.registration = CloudRegistrationStrategy(
+            params.scan_matcher.scan_to_map_reg_type, icp)
 
     # ------------------------------------------------------------------
 
@@ -102,6 +119,8 @@ class PlaceRecognition:
             return constraints
         candidates = self.get_loop_closure_candidates_idxs(
             map_to_range_sensor, submaps, adjacency, last_finished_idx, active_idx)
+        print(f"considering submap {last_finished_idx} for loop closure, "
+              f"num candidate submaps: {len(candidates)}")   # :61-62
         if not candidates:
             return constraints
 
@@ -141,12 +160,10 @@ class PlaceRecognition:
             source_overlap = source_full.with_(mask=source_full.mask & src_m)
             target_overlap = target_full.with_(mask=target_full.mask & tgt_m)
 
-            grid = hashgrid.build(target_overlap,
-                                  cell_size=p.max_icp_correspondence_distance)
-            icp_res = reg_ops.icp_point_to_plane(
-                source_overlap, grid, jnp.asarray(T_ransac, jnp.float32),
-                p.max_icp_correspondence_distance,
-                max_iterations=ICP_RUN_UNTIL_CONVERGENCE_ITERS)
+            prepared = self.registration.prepare_target(target_overlap)
+            grid = prepared.grid
+            icp_res = self.registration.register(
+                source_overlap, prepared, jnp.asarray(T_ransac, jnp.float32))
             fitness = float(icp_res.fitness)
             if fitness < p.min_refinement_fitness:
                 print(f"REJECTED loop closure, refinement score {fitness:.3f}, "

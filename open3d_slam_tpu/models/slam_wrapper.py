@@ -42,11 +42,12 @@ import jax.numpy as jnp
 
 
 class TimestampedPointCloud:
-    __slots__ = ("time", "cloud")
+    __slots__ = ("time", "cloud", "odom_pending")
 
-    def __init__(self, time, cloud):
+    def __init__(self, time, cloud, odom_pending=None):
         self.time = time
         self.cloud = cloud
+        self.odom_pending = odom_pending   # OdometryPending riding along
 
 
 class SlamWrapper:
@@ -80,6 +81,9 @@ class SlamWrapper:
         self.last_loop_closure_constraints: List[Constraint] = []
         self.num_latest_loop_closure_constraints = -1
         self.is_optimized_graph_available = False
+        # health counters surfaced in the CLI eval JSON
+        self.n_loop_closures_accepted = 0
+        self.n_optimizations_applied = 0
         self.latest_scan_to_map_refinement_time: Optional[float] = None
         self.folder_path = "."
         self._raw_capacity = cap.raw_scan
@@ -135,17 +139,27 @@ class SlamWrapper:
             is_spinning_clockwise=p.is_spinning_clockwise)
 
     def _odometry_step(self) -> bool:
-        """odometryWorker body (:258-289)."""
+        """odometryWorker body (:258-289).
+
+        Dispatch-only: device results ride the measurement into the mapping
+        stage as an ``OdometryPending`` and are pulled there in ONE
+        device->host round-trip together with the scan-to-map scalars.
+        """
         measurement = self.odometry_buffer.pop()
         if measurement is None:
             return False
-        with self.telemetry.timer("odometry"):
+        with self.telemetry.timer("odometry", sampled=True) as t:
             cloud = self._undistort(measurement, "odom")
-            ok = self.odometry.add_range_scan(cloud, measurement.time)
-            if self.odometry.prev is not None:   # attribute target prep here
+            r = self.odometry.add_range_scan_async(cloud, measurement.time)
+            if t.recording and self.odometry.prev is not None:
+                # attribute target prep + registration to this stage on
+                # SAMPLED invocations (sync costs a tunnel RTT)
                 self.telemetry.sync(self.odometry.prev.grid.hashes_sorted)
-        if not ok:
-            print(f"WARNING: odometry failed at t={measurement.time}; "
+                if not isinstance(r, bool):
+                    self.telemetry.sync(r.fitness)
+        measurement.odom_pending = None if isinstance(r, bool) else r
+        if r is False:
+            print(f"WARNING: odometry dropped scan at t={measurement.time}; "
                   "pose not updated for this scan")
         self.mapping_buffer.push(measurement)
         self.telemetry.maybe_print()
@@ -156,22 +170,23 @@ class SlamWrapper:
         measurement = self.mapping_buffer.pop()
         if measurement is None:
             return False
-        if not self.odometry.odom_buffer.has(measurement.time):
-            print("WARNING: odom buffer does not have the desired transform; "
-                  "attempting scan-to-map refinement anyway")
-        with self.telemetry.timer("mapping"):
+        with self.telemetry.timer("mapping", sampled=True) as t:
             cloud = self._undistort(measurement, "map")
-            self.mapper.add_range_measurement(cloud, measurement.time)
-            # Attribute the async submap-insert program to THIS stage when
-            # timing stats are on (see TelemetryRegistry.sync).
-            self.telemetry.sync(self.submaps.get_active_submap().map_cloud)
+            self.mapper.add_range_measurement(
+                cloud, measurement.time,
+                odom_pending=measurement.odom_pending)
+            # Attribute the async submap-insert program to THIS stage on
+            # sampled invocations (see TelemetryRegistry.sync).
+            if t.recording:
+                self.telemetry.sync(self.submaps.get_active_submap().map_cloud)
         self.latest_scan_to_map_refinement_time = measurement.time
         # Dense map stage (denseMapWorker, :363-386).
         if self.params.mapper.is_build_dense_map:
-            with self.telemetry.timer("dense_map"):
+            with self.telemetry.timer("dense_map", sampled=True) as t:
                 self.submaps.insert_scan_dense_map(
                     cloud, self.mapper.map_to_range_sensor, measurement.time)
-                self.telemetry.sync(self.submaps.get_active_submap().dense_map.keys)
+                if t.recording:
+                    self.telemetry.sync(self.submaps.get_active_submap().dense_map.keys)
         # Feature computation + loop-closure candidate collection (:388-405).
         if self.params.mapper.is_attempt_loop_closures:
             self.compute_features_if_ready()
@@ -210,6 +225,7 @@ class SlamWrapper:
             self.num_latest_loop_closure_constraints = len(constraints)
         if not constraints:
             return
+        self.n_loop_closures_accepted += len(constraints)
         with self.telemetry.timer("optimization"):
             odom_constraints = list(self.odometry_constraints)
             compute_odometry_constraints(self.submaps, odom_constraints)
@@ -235,6 +251,7 @@ class SlamWrapper:
 
     def update_submaps_and_trajectory(self):
         """``updateSubmapsAndTrajectory`` (:450-485)."""
+        self.n_optimizations_applied += 1
         increments = self.optimization_problem.get_optimized_transform_increments()
         self.submaps.transform(increments)
         if self.last_loop_closure_constraints:
@@ -271,10 +288,14 @@ class SlamWrapper:
             return False
         return self.process_queued() > 0
 
+
     def finish_processing(self):
         """``finishProcessing`` (:126-166): drain, force final submap, run a
         final feature/loop-closure/optimization round."""
         self.process_queued()
+        # Resolve any odometry results whose mapping step never ran (e.g.
+        # a measurement dropped on buffer overflow in async mode).
+        self.odometry.finalize_pending()
         print("Finishing all submaps!")
         self.num_latest_loop_closure_constraints = -1
         self.submaps.force_new_submap_creation()
@@ -328,6 +349,22 @@ class SlamWrapper:
     def get_trajectory(self) -> Tuple[List[float], List[np.ndarray]]:
         buf = self.mapper.map_to_range_sensor_buffer
         return list(buf._times), [t.copy() for t in buf._transforms]
+
+    def get_health(self) -> dict:
+        """Decision-relevant run-health counters (the quantities the
+        reference prints as online telemetry, ``SlamWrapper.cpp:282-286``,
+        ``Odometry.cpp:51-66``, ``Mapper.cpp:151-156``) — recorded in the
+        CLI's eval JSON so a truncated or closure-free run is
+        distinguishable from a healthy one in the artifact."""
+        return {
+            "n_submaps": self.submaps.get_num_submaps(),
+            "n_loop_closures_accepted": self.n_loop_closures_accepted,
+            "n_optimizations_applied": self.n_optimizations_applied,
+            "n_odometry_failures": self.odometry.n_failed,
+            "n_refinement_skips": self.mapper.n_refinement_skips,
+            "n_merge_skips_min_movement": self.mapper.n_merge_skips_min_movement,
+            "n_map_points": self.submaps.get_total_num_points(),
+        }
 
     # ------------------------------------------------------------------
     # Visualization accessors (SlamWrapperRos::publishMaps analog,

@@ -110,7 +110,7 @@ def radius_moments(points: jnp.ndarray, mask: jnp.ndarray, radius,
     )(r2, p, p.T, maskf[None, :], feats)
 
 
-@partial(jax.jit, static_argnames=("k", "chunk"))
+@partial(jax.jit, static_argnames=("k", "chunk", "exact"))
 def kth_neighbor_d2(points: jnp.ndarray, mask: jnp.ndarray, k: int,
                     chunk: int = 512, exact: bool = False) -> jnp.ndarray:
     """Squared distance to each point's k-th nearest neighbor (self counts,

@@ -49,9 +49,28 @@ def make_pose_hypotheses(map_points: np.ndarray, map_mask: np.ndarray,
     return T[:num_hypotheses]
 
 
-@partial(jax.jit, static_argnames=("coarse_iters", "mid_iters",
-                                   "refine_iters", "top_k"))
-def _batched_localize(scan_small: PointCloud, scan_full: PointCloud,
+def _chunked_vmap(fn, xs: jnp.ndarray, chunk: int):
+    """vmap ``fn`` over the leading axis in sequential chunks of ``chunk``
+    (``lax.map`` outside, ``vmap`` inside).  Bounds peak memory: on TPU the
+    bruteforce NN materializes an (m_scan, n_map) distance block PER
+    HYPOTHESIS — a flat vmap over 1024 hypotheses would allocate hundreds
+    of GB.  ``chunk`` must divide ``xs.shape[0]``."""
+    n = xs.shape[0]
+    chunk = min(chunk, n)
+    while n % chunk != 0:
+        chunk -= 1
+    if chunk == 1:
+        # no batch dim at all — keeps Pallas kernels un-vmapped (vmapping
+        # pallas_call compiles pathologically on some runtimes)
+        return jax.lax.map(fn, xs)
+    xr = xs.reshape(n // chunk, chunk, *xs.shape[1:])
+    out = jax.lax.map(lambda c: jax.vmap(fn)(c), xr)
+    return jax.tree_util.tree_map(
+        lambda a: a.reshape(n, *a.shape[2:]), out)
+
+
+def _batched_localize(scan_small: PointCloud, scan_rank: PointCloud,
+                      scan_full: PointCloud,
                       coarse_grid: hashgrid.HashGrid,
                       mid_grid: hashgrid.HashGrid,
                       grid: hashgrid.HashGrid, inits: jnp.ndarray,
@@ -68,24 +87,58 @@ def _batched_localize(scan_small: PointCloud, scan_full: PointCloud,
          diverges from ~1.4 m offsets on plane-dominated scenes; P2P's
          translation basin is much wider), then tight point-to-plane
          refinement; winner by fitness - rmse.
+
+    On TPU the point-to-plane stages run through the NATIVELY-BATCHED fused
+    Pallas kernel in its shared-map layout (the map streams from HBM once
+    per sweep for the whole hypothesis batch — the kernel was designed for
+    exactly this workload); the remaining stages run un-vmapped under
+    ``lax.map`` so the NN routes to the fused flash kernel (a vmapped
+    bruteforce sweep would materialize (chunk, m, n) distance blocks and is
+    ~10x slower).  On CPU the probe path vmaps cheaply, so chunks stay
+    wide.  Deliberately NOT wrapped in one outer jit: fusing all the
+    chunked loops into a single XLA program deterministically faults the
+    v5e TPU worker runtime (the stages dispatched separately run fine), and
+    the inter-stage glue is a few tiny transfers against a seconds-scale
+    device workload.
     """
-    nn = "bruteforce" if jax.default_backend() == "tpu" else "probe"
-    coarse = jax.vmap(lambda T0: reg_ops.icp_point_to_plane(
-        scan_small, coarse_grid, T0, coarse_corr_dist,
-        max_iterations=coarse_iters, bucket_size=8, nn_method=nn))(inits)
+    from open3d_slam_tpu.ops import pallas_icp
+    tpu = jax.default_backend() == "tpu"
+    nn = "auto" if tpu else "probe"
+    cc, ce = (1, 1) if tpu else (32, 4)
+    batched_ok = (tpu and coarse_grid.normals_sorted is not None and
+                  pallas_icp.supports(scan_small.capacity,
+                                      coarse_grid.capacity) and
+                  pallas_icp.supports(scan_full.capacity, grid.capacity))
+    if batched_ok:
+        coarse = reg_ops.batched_icp_point_to_plane(
+            scan_small, coarse_grid, inits, coarse_corr_dist,
+            max_iterations=coarse_iters)
+    else:
+        coarse = _chunked_vmap(lambda T0: reg_ops.icp_point_to_plane(
+            scan_small, coarse_grid, T0, coarse_corr_dist,
+            max_iterations=coarse_iters, bucket_size=8, nn_method=nn),
+            inits, chunk=cc)
     # Wide-distance fitness saturates (everything snaps to the dominant
-    # plane); rank candidates by TIGHT-distance fitness at the coarse result.
-    tight = jax.vmap(lambda T0: reg_ops.evaluate_registration(
-        scan_full, grid, T0, max_corr_dist, nn_method=nn))(coarse.transformation)
+    # plane); rank candidates by TIGHT-distance fitness at the coarse
+    # result, on a mid-size subsample (512 points under-rank the true
+    # basin; the full cloud pays NN cost for no extra discrimination).
+    tight = _chunked_vmap(lambda T0: reg_ops.evaluate_registration(
+        scan_rank, grid, T0, max_corr_dist, nn_method=nn),
+        coarse.transformation, chunk=ce)
     score = tight.fitness - tight.inlier_rmse
     _, best_idx = jax.lax.top_k(score, top_k)
     best_inits = coarse.transformation[best_idx]
-    mid = jax.vmap(lambda T0: reg_ops.icp_point_to_point(
-        scan_full, mid_grid, T0, mid_corr_dist, max_iterations=mid_iters,
-        nn_method=nn))(best_inits)
-    refined = jax.vmap(lambda T0: reg_ops.icp_point_to_plane(
-        scan_full, grid, T0, max_corr_dist, max_iterations=refine_iters,
-        nn_method=nn))(mid.transformation)
+    mid = _chunked_vmap(lambda T0: reg_ops.icp_point_to_point(
+        scan_rank, mid_grid, T0, mid_corr_dist, max_iterations=mid_iters,
+        nn_method=nn), best_inits, chunk=ce)
+    if batched_ok:
+        refined = reg_ops.batched_icp_point_to_plane(
+            scan_full, grid, mid.transformation, max_corr_dist,
+            max_iterations=refine_iters)
+    else:
+        refined = _chunked_vmap(lambda T0: reg_ops.icp_point_to_plane(
+            scan_full, grid, T0, max_corr_dist, max_iterations=refine_iters,
+            nn_method=nn), mid.transformation, chunk=ce)
     score_r = refined.fitness - refined.inlier_rmse
     win = jnp.argmax(score_r)
     return refined.transformation[win], refined.fitness[win]
@@ -99,8 +152,14 @@ def global_localize(scan: PointCloud, map_cloud: PointCloud,
     sp = params.mapper.scan_processing
     icp = params.mapper.scan_matcher.icp
     scan_v = voxel.voxel_downsample(scan, max(sp.voxel_size, 1e-3))
-    scan_small = voxel.random_downsample(scan_v, coarse_scan_points,
-                                         jax.random.PRNGKey(11))
+    scan_small = pclib.compact_to(
+        voxel.random_downsample(scan_v, coarse_scan_points,
+                                jax.random.PRNGKey(11)),
+        pclib.padded_capacity(coarse_scan_points))
+    n_rank = min(2048, scan_v.capacity)
+    scan_rank = pclib.compact_to(
+        voxel.random_downsample(scan_v, n_rank, jax.random.PRNGKey(12)),
+        pclib.padded_capacity(n_rank))
     m = map_cloud
     if m.normals is None:
         m = normals_ops.estimate_normals(m, radius=icp.max_distance_knn,
@@ -119,7 +178,8 @@ def global_localize(scan: PointCloud, map_cloud: PointCloud,
     mid_corr = max(2.0 * icp.max_correspondence_distance, 2.0)
     mid_grid = hashgrid.build(m, cell_size=mid_corr)
     T, fitness = _batched_localize(
-        scan_small, scan_v, coarse_grid, mid_grid, grid, jnp.asarray(inits),
+        scan_small, scan_rank, scan_v, coarse_grid, mid_grid, grid,
+        jnp.asarray(inits),
         coarse_corr, mid_corr, icp.max_correspondence_distance,
         top_k=min(64, int(inits.shape[0])))
     return np.asarray(T, np.float64), float(fitness)

@@ -127,19 +127,23 @@ def padded_capacity(n: int, multiple: int = 256) -> int:
 def compact_to(pc: PointCloud, out_capacity: int) -> PointCloud:
     """Gather valid points into a NEW capacity, valid-first, stable order.
 
-    O(N) cumsum + searchsorted + gather (no argsort).  If the valid count
+    One stable validity sort + small gathers.  (A sort is CHEAPER on TPU
+    than the log-depth vectorized binary search this used to run: a 262k
+    1-operand sort costs ~1.8 ms where a 65k-query ``searchsorted`` into a
+    262k table costs ~5-15 ms of serial gather rounds.)  If the valid count
     exceeds ``out_capacity``, a UNIFORM STRIDE of the valid points is kept
     (spatially unbiased, same policy as voxel_downsample overflow) — callers
     should size capacity so this is rare.
     """
-    ranks = jnp.cumsum(pc.mask.astype(jnp.int32))          # (N,) 1-based
-    total = ranks[-1]
+    n = pc.capacity
+    order = jnp.argsort(jnp.where(pc.mask, jnp.int32(0), jnp.int32(1)),
+                        stable=True)                       # valid-first
+    total = jnp.sum(pc.mask.astype(jnp.int32))
     idx = jnp.arange(out_capacity, dtype=jnp.int32)
     stride = total.astype(jnp.float32) / jnp.float32(out_capacity)
     strided = jnp.floor(idx.astype(jnp.float32) * stride).astype(jnp.int32)
-    want = jnp.where(total > out_capacity, strided, idx) + 1   # 1-based rank
-    pos = jnp.clip(jnp.searchsorted(ranks, want, side="left"),
-                   0, pc.capacity - 1)
+    want = jnp.where(total > out_capacity, strided, idx)
+    pos = order[jnp.minimum(want, n - 1)]
     mask = idx < jnp.minimum(total, out_capacity)
 
     def take(a):

@@ -43,13 +43,21 @@ def to_unix_seconds(t: int) -> float:
 
 
 class Timer:
-    """Stopwatch with running average, as the reference ``Timer``."""
+    """Stopwatch with running average, as the reference ``Timer``.
+
+    ``recording`` supports SAMPLED telemetry: when False for the current
+    invocation, ``stop()`` measures nothing (the registry hands out
+    non-recording invocations so un-synced async dispatch times — which
+    would read as ~0 ms — never pollute the average; see
+    ``TelemetryRegistry.timer``).
+    """
 
     def __init__(self, name: str = ""):
         self.name = name
         self._start = None
         self._total_ms = 0.0
         self._count = 0
+        self.recording = True
 
     def start(self):
         self._start = _time.perf_counter()
@@ -63,7 +71,8 @@ class Timer:
 
     def stop(self) -> float:
         ms = self.elapsed_ms()
-        self.add_measurement_ms(ms)
+        if self.recording:
+            self.add_measurement_ms(ms)
         self._start = None
         return ms
 
@@ -90,16 +99,32 @@ class TelemetryRegistry:
     (``SlamWrapper.cpp:282-286,340-344,379-383``).
     """
 
-    def __init__(self, print_every_sec: float = 15.0, enabled: bool = True):
+    def __init__(self, print_every_sec: float = 15.0, enabled: bool = True,
+                 sample_every: int = 8):
         self.timers: Dict[str, Timer] = {}
         self.print_every_sec = print_every_sec
         self.enabled = enabled
+        # SAMPLED attribution: truthful per-stage timing needs a device
+        # sync inside each stage (async dispatch reads as ~0 ms otherwise),
+        # but each sync costs a full tunnel round-trip and serializes the
+        # stage overlap.  Recording 1 of every ``sample_every`` invocations
+        # keeps the printed averages honest (each sample IS a fully synced
+        # stage) at ~1/sample_every of the overhead.
+        self.sample_every = max(1, int(sample_every))
+        self._invocations: Dict[str, int] = {}
         self._last_print = _time.monotonic()
 
-    def timer(self, name: str) -> Timer:
+    def timer(self, name: str, sampled: bool = False) -> Timer:
+        """``sampled=True`` for HOT per-scan stages (record 1 of every
+        sample_every invocations); rare stages record every invocation."""
         if name not in self.timers:
             self.timers[name] = Timer(name)
-        return self.timers[name]
+        t = self.timers[name]
+        n = self._invocations.get(name, 0)
+        self._invocations[name] = n + 1
+        t.recording = self.enabled and (
+            not sampled or n % self.sample_every == 0)
+        return t
 
     def sync(self, x):
         """Block on device arrays in ``x`` — ONLY when telemetry is enabled.
@@ -107,8 +132,10 @@ class TelemetryRegistry:
         JAX dispatch is async: a stage that merely enqueues device work
         would otherwise report ~0 ms while its real cost drains into
         whatever blocks next (the reference's timers measure completed
-        work, ``SlamWrapper.cpp:282-286``).  When telemetry is off we keep
-        the async overlap — it is free pipeline parallelism.
+        work, ``SlamWrapper.cpp:282-286``).  Callers gate this on the
+        stage timer's ``recording`` flag (sampled invocations only); when
+        telemetry is off we keep the async overlap — it is free pipeline
+        parallelism.
         """
         if not self.enabled:
             return x

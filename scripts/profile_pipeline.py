@@ -31,14 +31,16 @@ from open3d_slam_tpu.utils import config as cfg
 
 
 def sync(x):
-    """Hard sync: device->host transfer (block_until_ready can return at
-    enqueue time on the axon backend)."""
-    leaves = jax.tree_util.tree_leaves(x)
-    for a in leaves:
-        if hasattr(a, "block_until_ready"):
-            a.block_until_ready()
-    if leaves and hasattr(leaves[0], "__array__"):
-        np.asarray(leaves[0])
+    """Hard sync at ~one tunnel round-trip: ONE batched device_get of a
+    1-element slice of every leaf.  (block_until_ready costs a full RTT
+    PER LEAF on this backend and can return at enqueue time; transferring
+    full arrays bills tunnel bandwidth — ~150 ms for a 262k-point cloud —
+    to whatever stage is being timed.)"""
+    import jax.numpy as jnp
+    leaves = [a for a in jax.tree_util.tree_leaves(x)
+              if hasattr(a, "block_until_ready")]
+    if leaves:
+        jax.device_get([jnp.ravel(a)[:1] for a in leaves])
     return x
 
 

@@ -58,36 +58,17 @@ def main():
     os.makedirs(args.results_dir, exist_ok=True)
 
     rows = [run_one(n, args.budget_per_seq, args.results_dir) for n in names]
+    for r in rows:
+        print(json.dumps(r), flush=True)
 
-    lines = [
-        "# RESULTS — end-to-end SLAM on the named simulated benchmarks",
-        "",
-        "Full `SlamWrapper` replay (odometry + scan2map + submaps + loop",
-        "closure + pose graph) with constant-velocity undistortion, on ONE",
-        "real TPU chip via `cli.mapping --sim <name> --eval-json`.  ATE/RPE",
-        "vs the simulator's ground truth; RTF = sensor-seconds processed per",
-        "wall-second (reference publishes 3.0x / 7.85x on a desktop CPU,",
-        "`documentation/source/usage.rst:97-98`).",
-        "",
-        "| sequence | poses | ATE rmse (m) | RPE trans rmse (m) | RPE rot rmse (deg) | drift % | RTF |",
-        "|---|---|---|---|---|---|---|",
-    ]
-    for r in rows:
-        if "ate_rmse_m" in r:
-            lines.append(
-                f"| {r['sequence']} | {r.get('n_poses', '?')} | "
-                f"{r['ate_rmse_m']} | {r['rpe_trans_rmse_m']} | "
-                f"{r['rpe_rot_rmse_deg']} | {r['drift_pct']} | {r['rtf']} |")
-        else:
-            lines.append(f"| {r['sequence']} | — | FAILED (rc={r['returncode']}"
-                         f", {r.get('error', 'no eval json')}) | | | | |")
-    lines += ["", "Repro (one line per row):", ""]
-    for r in rows:
-        lines.append(f"    python -m {r['cmd']}")
-    lines += ["", f"Recorded: {time.strftime('%Y-%m-%d %H:%M:%S')} on "
-              f"{os.uname().nodename}", ""]
-    with open(args.out, "w") as f:
-        f.write("\n".join(lines))
+    # RESULTS.md has ONE writer: merge_results.py assembles it from the
+    # results/*.json artifacts (incl. the recorded argv repro lines and the
+    # newest BENCH_r*.json snapshot).
+    import subprocess
+    subprocess.run([sys.executable, os.path.join(REPO, "scripts",
+                                                 "merge_results.py"),
+                    "--results-dir", args.results_dir, "--out", args.out],
+                   check=True)
     print(f"\nwrote {args.out}")
     bad = [r for r in rows if r["returncode"] != 0]
     return 1 if bad else 0

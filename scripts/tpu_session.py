@@ -27,6 +27,7 @@ def main():
     runpy.run_path("scripts/profile_pipeline.py", run_name="__main__")
     print(f"profile done in {time.time() - t0:.0f} s", flush=True)
 
+    sys.argv = ["bench"]   # don't leak the profiler's argv into bench.py
     t0 = time.time()
     runpy.run_path("bench.py", run_name="__main__")
     print(f"bench done in {time.time() - t0:.0f} s", flush=True)

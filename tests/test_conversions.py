@@ -68,3 +68,30 @@ def test_submap_colors():
     c12 = colors.submap_color(12)  # wraps around palette
     np.testing.assert_allclose(c0, c12)
     assert colors.PALETTE.shape[1] == 3
+
+
+def test_mesh_polygon_msg_round_trip(rng):
+    """TriangleMesh <-> PolygonMesh-msg round-trip (open3d_conversions.h:76-79,
+    open3d_conversions.cpp:260-307)."""
+    from open3d_slam_tpu.io import conversions as conv
+    v = rng.normal(size=(50, 3)).astype(np.float32)
+    t = rng.integers(0, 50, size=(80, 3)).astype(np.int32)
+    c = rng.uniform(0, 1, size=(50, 3)).astype(np.float32)
+    mesh = conv.TriangleMesh(v, t, vertex_colors=c)
+    msg = conv.mesh_to_polygon_msg(mesh)
+    back = conv.polygon_msg_to_mesh(msg)
+    np.testing.assert_allclose(back.vertices, v, atol=1e-6)
+    np.testing.assert_array_equal(back.triangles, t)
+    # colors ride the rgb-packed field: 8-bit quantization
+    np.testing.assert_allclose(back.vertex_colors, c, atol=1.0 / 255.0 + 1e-6)
+
+
+def test_mesh_polygon_msg_bad_index_rejected(rng):
+    from open3d_slam_tpu.io import conversions as conv
+    mesh = conv.TriangleMesh(np.zeros((4, 3), np.float32),
+                             np.array([[0, 1, 2]], np.int32))
+    msg = conv.mesh_to_polygon_msg(mesh)
+    msg["polygons"] = np.array([[0, 1, 9]], np.int32)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        conv.polygon_msg_to_mesh(msg)

@@ -178,3 +178,22 @@ def test_cropper_limits_scan_not_map(rng):
     got = np.sort(pclib.to_numpy(out)["points"][:, 0])
     np.testing.assert_allclose(got, [1.0 + VS / 2 - 0.125, 40.0], atol=0.2)
     assert int(out.count()) == 2
+
+
+def test_dense_map_far_from_origin_precision(rng):
+    """Dense-map store aggregates voxel-center-relative residual sums: at a
+    5 km offset the reconstructed means must stay at the float32
+    representation floor (an absolute-position running sum would lose
+    centimetres-to-decimetres to cumsum cancellation)."""
+    from open3d_slam_tpu.ops import dense_map
+    off = np.asarray([5000.0, -3000.0, 200.0], np.float32)
+    pts = (rng.uniform(-4, 4, (1500, 3)) + off).astype(np.float32)
+    pc = pclib.from_numpy(pts, capacity=2048)
+    vm = dense_map.empty(4096, VS)
+    vm = dense_map.insert(vm, pc)
+    out = pclib.to_numpy(dense_map.to_point_cloud(vm))["points"]
+    want = _voxel_means(pc)
+    got = {tuple(np.floor(p / VS).astype(np.int64)): p for p in out}
+    assert set(got) == set(want)
+    err = max(np.linalg.norm(got[c] - want[c]) for c in want)
+    assert err < 1.5e-3, f"dense far-from-origin mean error {err}"
