@@ -31,6 +31,11 @@ simulator's ground truth; RTF = sensor-seconds processed per wall-second
 accepted; `submaps` = submap count at finish — the run-health counters a
 truncated or closure-free run would show as anomalies.
 
+RTF caveat: the chip is reached through a shared tunnel whose throughput
+varies ~4x between sessions (the same warm-cache sequence has replayed at
+both 29 s and 111 s); the steady-state `pipeline_p50_ms_per_scan` in the
+bench snapshot below is the session-robust latency metric.
+
 | sequence | poses | ATE rmse (m) | RPE trans rmse (m) | RPE rot rmse (deg) | drift % | RTF | LC | submaps |
 |---|---|---|---|---|---|---|---|---|
 """
