@@ -60,7 +60,17 @@ def _block(x):
 
 def bench_batched_icp(batch=128, n_src=1024, n_tgt=2048, iters=15, repeats=3,
                       voxel_size=0.3, corr_dist=0.5):
-    """Batch of voxelized scan-pair registrations (odometry-style workload)."""
+    """Batch of voxelized scan-pair registrations (odometry-style workload).
+
+    Two difficulty variants (same clouds, same program):
+      * easy: all sources offset by a fixed small shift (the odometry
+        steady state — motion prediction leaves ~cm initial error);
+      * hard: per-element random inits, uniform +-0.5 m translation and
+        +-10 deg axis-angle rotation (a motion-prediction dropout /
+        re-acquisition workload) — run-to-convergence behavior per Open3D's
+        ``ICPConvergenceCriteria`` (``CloudRegistration.hpp:40,52,66``).
+    Reports regs/s + mean fitness + mean GN iterations for both.
+    """
     rng = np.random.default_rng(0)
     world = datasets.SyntheticWorld(datasets.SyntheticWorldConfig(
         extent=30.0, n_ground=60000, n_walls=40000, n_pillars=30000))
@@ -88,17 +98,41 @@ def bench_batched_icp(batch=128, n_src=1024, n_tgt=2048, iters=15, repeats=3,
         lambda p: hashgrid.build(p, corr_dist), pcs))(tgt_pc)
     inits = jnp.tile(jnp.eye(4), (batch, 1, 1))
 
-    run = jax.jit(lambda s, g, T0: sharded_icp.batched_icp_p2l(
-        s, g, T0, corr_dist, max_iterations=iters, bucket_size=8))
-    res = run(src_pc, grids, inits)
-    _block(res)
-    fitness = float(np.asarray(res.fitness).mean())
-    t0 = time.perf_counter()
-    for _ in range(repeats):
-        res = run(src_pc, grids, inits)
-    _block(res)
-    dt = (time.perf_counter() - t0) / repeats
-    return batch / dt, fitness
+    # Hard inits: uniform +-0.5 m translation, +-10 deg axis-angle.
+    hard = np.tile(np.eye(4, dtype=np.float32), (batch, 1, 1))
+    axes = rng.normal(size=(batch, 3))
+    axes /= np.linalg.norm(axes, axis=1, keepdims=True)
+    angs = rng.uniform(-np.deg2rad(10.0), np.deg2rad(10.0), batch)
+    for b in range(batch):
+        K = np.array([[0, -axes[b, 2], axes[b, 1]],
+                      [axes[b, 2], 0, -axes[b, 0]],
+                      [-axes[b, 1], axes[b, 0], 0]])
+        hard[b, :3, :3] = (np.eye(3) + np.sin(angs[b]) * K +
+                           (1 - np.cos(angs[b])) * (K @ K)).astype(np.float32)
+        hard[b, :3, 3] = rng.uniform(-0.5, 0.5, 3).astype(np.float32)
+    hard_inits = jnp.asarray(hard)
+    # Run-to-convergence iteration budget for the hard variant (the magic
+    # ``icpRunUntilConvergenceNumberOfIterations=100`` behavior would use
+    # 100; 30 covers +-0.5 m basins with margin).
+    hard_iters = max(iters, 30)
+
+    def timed(run_inits, n_iters):
+        run = jax.jit(lambda s, g, T0: sharded_icp.batched_icp_p2l(
+            s, g, T0, corr_dist, max_iterations=n_iters, bucket_size=8))
+        res = run(src_pc, grids, run_inits)
+        _block(res)
+        fitness = float(np.asarray(res.fitness).mean())
+        mean_it = float(np.asarray(res.num_iterations).mean())
+        t0 = time.perf_counter()
+        for _ in range(repeats):
+            res = run(src_pc, grids, run_inits)
+        _block(res)
+        dt = (time.perf_counter() - t0) / repeats
+        return batch / dt, fitness, mean_it
+
+    easy = timed(inits, iters)
+    hard_r = timed(hard_inits, hard_iters)
+    return easy, hard_r
 
 
 def bench_scan2map_gicp_latency(n_scan=4096, n_map=65536, iters=50, chain=10,
@@ -194,42 +228,53 @@ def _structured_scene(rng, n, extent=14.0):
 
 
 def bench_multistart_localization(num_hypotheses=1024, n_map=32768,
-                                  n_scan=8192, repeats=3):
+                                  n_scan=8192, n_poses=5):
     """BASELINE config 4: global localization with no initial pose —
-    stratified multi-start batched ICP (``parallel/multi_start.py``).
-    Reports hypotheses/s/chip and p50 per-localization latency."""
+    stratified multi-start batched ICP (``parallel/multi_start.py``) over
+    ``n_poses`` randomized planted poses.  Reports hypotheses/s/chip, p50
+    per-localization latency, and CORRECTNESS: per-pose translation error
+    vs the planted ground truth + success rate (success = t_err < 0.5 m)."""
     from open3d_slam_tpu.parallel import multi_start
     from open3d_slam_tpu.utils import config as cfg
 
     rng = np.random.default_rng(4)
     map_pts = _structured_scene(rng, n_map)
-    T_true = np.eye(4)
-    T_true[:3, :3] = np.array([[np.cos(0.7), -np.sin(0.7), 0],
-                               [np.sin(0.7), np.cos(0.7), 0],
-                               [0, 0, 1]])
-    T_true[:3, 3] = [4.0, -3.0, 0.0]
-    d = np.linalg.norm(map_pts[:, :2] - T_true[:2, 3], axis=1)
-    vis = map_pts[d < 14.0]
-    sel = rng.choice(len(vis), min(n_scan, len(vis)), replace=False)
-    scan_pts = ((vis[sel] - T_true[:3, 3]) @ T_true[:3, :3]).astype(np.float32)
 
     params = cfg.SlamParameters()
     params.mapper.scan_matcher.icp.max_correspondence_distance = 1.0
     params.mapper.scan_processing.voxel_size = 0.3
     map_pc = pclib.from_numpy(map_pts.astype(np.float32), capacity=n_map)
-    scan = pclib.from_numpy(scan_pts, capacity=n_scan)
 
-    T, fit = multi_start.global_localize(scan, map_pc, params,
-                                         num_hypotheses=num_hypotheses)
-    times = []
-    for _ in range(repeats):
+    def planted_scan(pose_rng):
+        T_true = np.eye(4)
+        yaw = pose_rng.uniform(0, 2 * np.pi)
+        T_true[:3, :3] = np.array([[np.cos(yaw), -np.sin(yaw), 0],
+                                   [np.sin(yaw), np.cos(yaw), 0],
+                                   [0, 0, 1]])
+        T_true[:2, 3] = pose_rng.uniform(-9.0, 9.0, 2)
+        d = np.linalg.norm(map_pts[:, :2] - T_true[:2, 3], axis=1)
+        vis = map_pts[d < 14.0]
+        sel = pose_rng.choice(len(vis), min(n_scan, len(vis)), replace=False)
+        pts = ((vis[sel] - T_true[:3, 3]) @ T_true[:3, :3]).astype(np.float32)
+        return pclib.from_numpy(pts, capacity=n_scan), T_true
+
+    # Warmup localization pays the compiles (same shapes for all poses).
+    scan0, _ = planted_scan(np.random.default_rng(100))
+    multi_start.global_localize(scan0, map_pc, params,
+                                num_hypotheses=num_hypotheses)
+    times, t_errs, fits = [], [], []
+    for k in range(n_poses):
+        scan, T_true = planted_scan(np.random.default_rng(101 + k))
         t0 = time.perf_counter()
         T, fit = multi_start.global_localize(scan, map_pc, params,
                                              num_hypotheses=num_hypotheses)
         times.append(time.perf_counter() - t0)
+        t_errs.append(float(np.linalg.norm(np.asarray(T)[:3, 3] - T_true[:3, 3])))
+        fits.append(fit)
     p50 = float(np.median(times))
-    t_err = float(np.linalg.norm(np.asarray(T)[:3, 3] - T_true[:3, 3]))
-    return num_hypotheses / p50, p50 * 1e3, fit, t_err
+    success = float(np.mean([e < 0.5 for e in t_errs]))
+    return (num_hypotheses / p50, p50 * 1e3, float(np.median(fits)),
+            float(np.median(t_errs)), success, t_errs)
 
 
 def bench_full_pipeline(n_timed=18, warmup=12):
@@ -239,9 +284,11 @@ def bench_full_pipeline(n_timed=18, warmup=12):
     (``SlamWrapper.cpp:282-286``): host ingest -> undistort -> odometry
     (crop/voxelize/normals + scan2scan GICP) -> scan2map GICP -> fused
     sort-merge submap insert (carving on its cadence), including
-    host<->device transfers (ONE blocking pull per scan) and host-side
-    orchestration.  Returns (p50 ms/scan, mean ms/scan, realtime factor
-    vs the 10 Hz budget).
+    host<->device transfers and host orchestration, in the deployed
+    PIPELINED replay mode (``process_scan_pipelined``: the one blocking
+    pull per scan overlaps the next scan's dispatched device work).
+    Returns (p50 ms/scan, mean ms/scan, realtime factor vs the 10 Hz
+    budget).
     """
     from open3d_slam_tpu.io import lidar_sim
     from open3d_slam_tpu.models.slam_wrapper import SlamWrapper
@@ -257,7 +304,7 @@ def bench_full_pipeline(n_timed=18, warmup=12):
     times = []
     for i, (scan, ts) in enumerate(zip(seq.scans, seq.timestamps)):
         t0 = time.perf_counter()
-        slam.process_scan(scan, ts)
+        slam.process_scan_pipelined(scan, ts)
         dt = time.perf_counter() - t0
         if i >= warmup:     # warmup pays jit compiles (incl. submap switch)
             times.append(dt)
@@ -275,12 +322,15 @@ def main():
     out = {
         "metric": "batched_p2l_icp_registrations_per_sec_per_chip",
         "value": None, "unit": "registrations/s", "vs_baseline": None,
-        "batch_fitness": None,
+        "batch_fitness": None, "batch_mean_iters": None,
+        "batched_icp_hard_per_sec": None, "batched_icp_hard_fitness": None,
+        "batched_icp_hard_mean_iters": None,
         "scan2map_p50_ms": None, "scan2map_fitness": None,
         "scan2map_vs_100ms_budget": None,
         "voxelize_mpts_per_sec": None,
         "localize_hyp_per_sec": None, "localize_p50_ms": None,
-        "localize_fitness": None,
+        "localize_fitness": None, "localize_t_err_m": None,
+        "localize_success_rate": None, "localize_t_errs": None,
         "pipeline_p50_ms_per_scan": None, "pipeline_mean_ms_per_scan": None,
         "pipeline_rtf_vs_10hz": None,
         "skipped_stages": [],
@@ -328,11 +378,16 @@ def main():
              f"(total {time.perf_counter() - t_start:.1f} s)")
         return r
 
-    r = stage("batched_icp", 120, bench_batched_icp)
+    r = stage("batched_icp", 150, bench_batched_icp)
     if r is not None:
-        out["value"] = round(r[0], 1)
-        out["vs_baseline"] = round(r[0] / PER_CHIP_TARGET, 2)
-        out["batch_fitness"] = round(r[1], 4)
+        easy, hard = r
+        out["value"] = round(easy[0], 1)
+        out["vs_baseline"] = round(easy[0] / PER_CHIP_TARGET, 2)
+        out["batch_fitness"] = round(easy[1], 4)
+        out["batch_mean_iters"] = round(easy[2], 1)
+        out["batched_icp_hard_per_sec"] = round(hard[0], 1)
+        out["batched_icp_hard_fitness"] = round(hard[1], 4)
+        out["batched_icp_hard_mean_iters"] = round(hard[2], 1)
     r = stage("scan2map_gicp", 60, bench_scan2map_gicp_latency)
     if r is not None:
         out["scan2map_p50_ms"] = round(r[0], 2)
@@ -341,11 +396,14 @@ def main():
     r = stage("voxelize", 30, bench_voxelize)
     if r is not None:
         out["voxelize_mpts_per_sec"] = round(r, 1)
-    r = stage("multistart_localize", 90, bench_multistart_localization)
+    r = stage("multistart_localize", 120, bench_multistart_localization)
     if r is not None:
         out["localize_hyp_per_sec"] = round(r[0], 1)
         out["localize_p50_ms"] = round(r[1], 1)
         out["localize_fitness"] = round(r[2], 4)
+        out["localize_t_err_m"] = round(r[3], 4)
+        out["localize_success_rate"] = round(r[4], 2)
+        out["localize_t_errs"] = [round(e, 3) for e in r[5]]
     r = stage("full_pipeline", 120, bench_full_pipeline)
     if r is not None:
         out["pipeline_p50_ms_per_scan"] = round(r[0], 2)

@@ -54,6 +54,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "(0 = no limit); finish_processing still runs — "
                          "prefer this over an external kill, which can wedge "
                          "a tunneled TPU backend mid-transfer")
+    ap.add_argument("--no-pipeline", action="store_true",
+                    help="strictly serialize the per-scan stages instead of "
+                         "the default pipelined replay (which overlaps the "
+                         "blocking device pull of scan t with scan t+1's "
+                         "dispatched device work)")
     return ap
 
 
@@ -72,8 +77,16 @@ def load_params(param_file: Optional[str]) -> cfg.SlamParameters:
 
 def run_sequence(slam: SlamWrapper, seq: datasets.SyntheticSequence,
                  num_accumulated: int = 1, skip_first: int = SKIP_FIRST_N_POINT_CLOUDS,
-                 report_every_sec: float = 15.0, max_wall_sec: float = 0.0):
-    """Offline replay with backpressure + realtime-factor reporting."""
+                 report_every_sec: float = 15.0, max_wall_sec: float = 0.0,
+                 pipelined: bool = True):
+    """Offline replay with backpressure + realtime-factor reporting.
+
+    ``pipelined`` (default) replays through
+    ``SlamWrapper.process_scan_pipelined`` — the offline analog of the
+    reference's overlapped worker threads
+    (``RosbagRangeDataProcessorRos.cpp:52-125`` feeding
+    ``SlamWrapper.cpp:228-234``): scan t's blocking device pull overlaps
+    scan t+1's dispatched odometry/preprocess on device."""
     # Absorb backend/session acquisition before the RTF clock starts: on a
     # tunneled chip the FIRST device op can wait tens of seconds for the
     # remote lease handover — infrastructure cost, not SLAM throughput (a
@@ -103,7 +116,10 @@ def run_sequence(slam: SlamWrapper, seq: datasets.SyntheticSequence,
         # but the hook stays for the async driver.
         while slam.is_odometry_buffer_full() or slam.is_mapping_buffer_full():
             slam.process_queued()
-        slam.process_scan(points, ts)
+        if pipelined:
+            slam.process_scan_pipelined(points, ts)
+        else:
+            slam.process_scan(points, ts)
         n_processed += 1
         if seq.timestamps:
             data_duration = ts - seq.timestamps[0]
@@ -173,7 +189,8 @@ def main(argv=None) -> int:
     rtf = run_sequence(slam, seq,
                        num_accumulated=args.num_accumulated_range_data,
                        skip_first=0 if args.no_skip_first else SKIP_FIRST_N_POINT_CLOUDS,
-                       max_wall_sec=args.max_wall_sec)
+                       max_wall_sec=args.max_wall_sec,
+                       pipelined=not args.no_pipeline)
 
     if params.saving.is_save_map or params.saving.is_save_at_mission_end:
         print("saved map to", slam.save_map())

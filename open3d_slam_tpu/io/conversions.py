@@ -105,7 +105,7 @@ def polygon_msg_to_mesh(msg: dict) -> TriangleMesh:
     pc = structured_to_pointcloud(msg["cloud"])
     data = pclib.to_numpy(pc)
     tri = np.asarray(msg["polygons"], np.int32).reshape(-1, 3)
-    if len(tri) and tri.max() >= data["points"].shape[0]:
+    if len(tri) and (tri.min() < 0 or tri.max() >= data["points"].shape[0]):
         raise ValueError("polygon index out of range of the vertex cloud")
     return TriangleMesh(data["points"], tri,
                         vertex_colors=data.get("colors"))

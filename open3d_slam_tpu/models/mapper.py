@@ -26,6 +26,30 @@ from open3d_slam_tpu.utils.config import MapperParameters
 from open3d_slam_tpu.utils.pointcloud import PointCloud
 
 
+class MapperPending:
+    """Device-side state of one dispatched-but-unfinalized mapping step.
+
+    The scan-to-map registration result stays on device until
+    ``Mapper.finalize_range_measurement`` pulls it together with the queued
+    odometry pendings in ONE transfer.  In pipelined replay the pull for
+    scan t is issued after scan t+1's odometry/preprocess programs are
+    already queued, so the tunnel round-trip overlaps device compute
+    instead of serializing the pipeline (the reference overlaps its stages
+    with worker threads, ``SlamWrapper.cpp:228-234``; on one chip all
+    device programs serialize anyway, so hiding the host<->device latency
+    is the whole game).
+    """
+    __slots__ = ("timestamp", "raw_scan", "processed", "result",
+                 "odom_pending")
+
+    def __init__(self, timestamp, raw_scan, processed, result, odom_pending):
+        self.timestamp = timestamp
+        self.raw_scan = raw_scan
+        self.processed = processed
+        self.result = result
+        self.odom_pending = odom_pending
+
+
 class Mapper:
     def __init__(self, params: MapperParameters,
                  odom_to_range_sensor_buffer: TransformInterpolationBuffer,
@@ -86,9 +110,26 @@ class Mapper:
 
     # ------------------------------------------------------------------
 
-    def add_range_measurement(self, raw_scan: PointCloud, timestamp: float,
-                              odom_pending=None) -> bool:
-        """``addRangeMeasurement`` (``Mapper.cpp:101-181``).
+    def preprocess_scan(self, raw_scan: PointCloud):
+        """Pose-independent scan preprocessing (phase A of the mapping
+        dispatch): the dual-crop/voxelize/normals/downsample chain of
+        ``ScanToMapIcp::processForScanMatchingAndMerging``
+        (``ScanToMapRegistration.cpp:42-54``).  Pipelined replay dispatches
+        this BEFORE finalizing the previous scan so the device crunches it
+        while the finalize pull rides the tunnel round-trip."""
+        return self.scan_to_map_reg.process_for_scan_matching_and_merging(
+            raw_scan, self.map_to_range_sensor)
+
+    def dispatch_range_measurement(self, raw_scan: PointCloud, timestamp: float,
+                                   odom_pending=None, processed=None):
+        """``addRangeMeasurement`` (``Mapper.cpp:101-181``), dispatch half:
+        motion prediction + map-patch prep + scan-to-map registration,
+        queued on device WITHOUT pulling the result.
+
+        Returns ``(pending, sync_ok)``: ``pending`` is a ``MapperPending``
+        for ``finalize_range_measurement``, or None when a synchronous path
+        (first scan, out-of-order drop, fresh initial value) fully handled
+        the measurement — then ``sync_ok`` is the step's return value.
 
         With ``odom_pending`` (an ``OdometryPending`` from
         ``LidarOdometry.add_range_scan_async``), the odometry pose enters
@@ -102,7 +143,8 @@ class Mapper:
 
         def _finalize_odom():
             if odom_pending is not None:
-                odom_pending.owner.finalize_pending()
+                odom_pending.owner.finalize_pending(
+                    upto=odom_pending.timestamp)
 
         # First scan path.
         if self.submaps.get_active_submap().is_empty():
@@ -112,17 +154,17 @@ class Mapper:
                     "Init map invalid (needs normals for this registration type)"
                 self.submaps.insert_scan(raw_scan, raw_scan, np.eye(4), timestamp)
             else:
-                processed = self.scan_to_map_reg.process_for_scan_matching_and_merging(
-                    raw_scan, self.map_to_range_sensor)
+                if processed is None:
+                    processed = self.preprocess_scan(raw_scan)
                 self.submaps.insert_scan(raw_scan, processed.merge, np.eye(4), timestamp)
                 self.map_to_range_sensor_buffer.push(timestamp, self.map_to_range_sensor)
-            return True
+            return None, True
 
         if (self.last_measurement_timestamp is not None and
                 timestamp < self.last_measurement_timestamp):
             _finalize_odom()
             print("MAPPER WARNING: measurements came out of order!")
-            return False
+            return None, False
 
         # Odometry motion prediction (Mapper.cpp:132-137).
         want_prediction = (not self.is_new_initial_value_set and
@@ -154,8 +196,8 @@ class Mapper:
                 map_to_range_sensor_estimate = self.map_to_range_sensor_prev @ odometry_motion
         self.is_ignore_odometry_prediction = False
 
-        processed = self.scan_to_map_reg.process_for_scan_matching_and_merging(
-            raw_scan, self.map_to_range_sensor)
+        if processed is None:
+            processed = self.preprocess_scan(raw_scan)
         result = self.scan_to_map_reg.scan_to_map_registration(
             processed.match, self.submaps.get_active_submap(),
             self.map_to_range_sensor, map_to_range_sensor_estimate)
@@ -167,10 +209,22 @@ class Mapper:
             self.map_to_range_sensor_buffer.push(timestamp, self.map_to_range_sensor)
             self.is_new_initial_value_set = False
             self.is_ignore_odometry_prediction = True
-            return True
+            return None, True
 
-        # ONE device->host transfer per scan: queued odometry pendings +
-        # scan-to-map result scalars together.
+        # Start the D2H copies NOW: by finalize time the result scalars are
+        # already host-side and the pull costs ~0 instead of a tunnel RTT.
+        from open3d_slam_tpu.utils.device import prefetch_to_host
+        prefetch_to_host(result.fitness, result.transformation)
+        return MapperPending(timestamp, raw_scan, processed, result,
+                             odom_pending), True
+
+    def finalize_range_measurement(self, mp: MapperPending) -> bool:
+        """``addRangeMeasurement`` finalize half: the ONE blocking
+        device->host transfer per scan (queued odometry pendings +
+        scan-to-map scalars together), then the host gates + submap insert
+        (``Mapper.cpp:151-181``)."""
+        p = self.params
+        timestamp, result, odom_pending = mp.timestamp, mp.result, mp.odom_pending
         if odom_pending is not None:
             owner = odom_pending.owner
             # Only pendings up to THIS measurement: in pipelined replay the
@@ -210,7 +264,7 @@ class Mapper:
         moved_too_little = (np.linalg.norm(motion[:3, 3]) <
                             p.min_movement_between_mapping_steps)
         if not moved_too_little:
-            self.submaps.insert_scan(raw_scan, processed.merge,
+            self.submaps.insert_scan(mp.raw_scan, mp.processed.merge,
                                      self.map_to_range_sensor, timestamp)
             self.map_to_range_sensor_last_scan_insertion = self.map_to_range_sensor.copy()
         else:
@@ -219,6 +273,16 @@ class Mapper:
         self.last_measurement_timestamp = timestamp
         self.map_to_range_sensor_prev = self.map_to_range_sensor.copy()
         return True
+
+    def add_range_measurement(self, raw_scan: PointCloud, timestamp: float,
+                              odom_pending=None) -> bool:
+        """``addRangeMeasurement`` (``Mapper.cpp:101-181``), blocking form:
+        dispatch + immediate finalize (one device pull)."""
+        mp, ok = self.dispatch_range_measurement(raw_scan, timestamp,
+                                                 odom_pending=odom_pending)
+        if mp is None:
+            return ok
+        return self.finalize_range_measurement(mp)
 
     # ------------------------------------------------------------------
 

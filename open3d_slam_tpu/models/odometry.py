@@ -47,11 +47,21 @@ def preprocess_chain(cloud: PointCloud, cropper, radius, key,
     cropped = cropper.crop(cloud)
     down = voxel.voxel_downsample(cropped, voxel_size,
                                   out_capacity=out_capacity)
+    if n_keep > 0:
+        # Downsample FIRST, then estimate normals only at the kept points
+        # with the FULL voxelized cloud as neighborhood support — the PCA
+        # planes equal the reference's estimate-then-downsample order
+        # (``Odometry.cpp:25-30``) at n_keep/out_capacity of the kernel
+        # cost (the selection doesn't read normals, so the kept set is
+        # identical either way).
+        kept = voxel.random_downsample(down, n_keep, key)
+        kept = pclib.compact_to(kept, keep_capacity)
+        if needs_normals:
+            kept = normals_ops.estimate_normals_at(kept, down, radius,
+                                                   max_nn=max_nn)
+        return kept
     if needs_normals:
         down = normals_ops.estimate_normals(down, radius, max_nn=max_nn)
-    if n_keep > 0:
-        down = voxel.random_downsample(down, n_keep, key)
-        down = pclib.compact_to(down, keep_capacity)
     return down
 
 
@@ -65,9 +75,11 @@ class OdometryPending:
     bookkeeping (gate print, float64 cumulative update, buffer push) once
     the values arrive.
     """
-    __slots__ = ("owner", "timestamp", "fitness", "rmse", "T", "cum_new", "ok")
+    __slots__ = ("owner", "timestamp", "fitness", "rmse", "T", "cum_new",
+                 "ok", "is_initial")
 
-    def __init__(self, owner, timestamp, fitness, rmse, T, cum_new, ok):
+    def __init__(self, owner, timestamp, fitness, rmse, T, cum_new, ok,
+                 is_initial=False):
         self.owner = owner
         self.timestamp = timestamp
         self.fitness = fitness      # device scalar
@@ -75,6 +87,7 @@ class OdometryPending:
         self.T = T                  # device (4,4)
         self.cum_new = cum_new      # device (4,4): cumulative AFTER this scan
         self.ok = ok                # device bool: fitness gate
+        self.is_initial = is_initial  # consumed a setInitialTransform
 
 
 class LidarOdometry:
@@ -162,7 +175,12 @@ class LidarOdometry:
         self.prev = prepared
         pending = OdometryPending(self, timestamp, result.fitness,
                                   result.inlier_rmse, result.transformation,
-                                  cum_new, ok)
+                                  cum_new, ok,
+                                  is_initial=self._initial_transform is not None)
+        # Start the D2H copies NOW: by finalize time the scalars are already
+        # host-side and the blocking pull costs ~0 instead of a tunnel RTT.
+        from open3d_slam_tpu.utils.device import prefetch_to_host
+        prefetch_to_host(pending.fitness, pending.rmse, pending.T)
         self._pending.append(pending)
         self.last_timestamp = timestamp
         return pending
@@ -205,14 +223,21 @@ class LidarOdometry:
                     self.odom_to_range_sensor_cumulative @
                     np.linalg.inv(np.asarray(T, np.float64)))
             self.odom_buffer.push(p.timestamp, self.odom_to_range_sensor_cumulative)
-        # Re-sync the device mirror so float32 drift never accumulates
-        # across scans (host float64 chain is the source of truth) — but
-        # only when nothing is in flight: an unfinalized pending already
-        # chained its cum_new off the CURRENT mirror, and overwriting it
-        # with the older host value would fork the pose chain.
-        if not self._pending:
-            self._cum_dev = jnp.asarray(self.odom_to_range_sensor_cumulative,
-                                        jnp.float32)
+        # Re-anchor the device mirror on the float64 host chain so float32
+        # composition drift never accumulates across scans.  In-flight
+        # pendings already chained their cum_new off the old mirror; rebase
+        # them on the fresh anchor (a 4x4 matmul + select per pending — in
+        # steady pipelined replay that is ONE pending) so the mapper's
+        # motion prediction always reads an anchored pose.
+        cum = jnp.asarray(self.odom_to_range_sensor_cumulative, jnp.float32)
+        for q in self._pending:
+            if q.is_initial:
+                cum = q.cum_new      # initial transform resets the chain
+            else:
+                from open3d_slam_tpu.utils import se3
+                cum = jnp.where(q.ok, cum @ se3.inverse(q.T), cum)
+            q.cum_new = cum
+        self._cum_dev = cum
         return last_ok
 
     def add_range_scan(self, cloud: PointCloud, timestamp: float) -> bool:

@@ -87,6 +87,8 @@ class SlamWrapper:
         self.latest_scan_to_map_refinement_time: Optional[float] = None
         self.folder_path = "."
         self._raw_capacity = cap.raw_scan
+        # in-flight pipelined mapping step: (MapperPending, measurement, cloud)
+        self._map_pending = None
 
     # ------------------------------------------------------------------
     # Ingest (SlamWrapper::addRangeScan, :102-115)
@@ -166,20 +168,29 @@ class SlamWrapper:
         return True
 
     def _mapping_step(self) -> bool:
-        """mappingWorker body (:290-347)."""
+        """mappingWorker body (:290-347): dispatch + immediate finalize."""
+        flushed = self._flush_map_pending()
         measurement = self.mapping_buffer.pop()
         if measurement is None:
-            return False
+            return flushed
         with self.telemetry.timer("mapping", sampled=True) as t:
             cloud = self._undistort(measurement, "map")
-            self.mapper.add_range_measurement(
+            mp, _ = self.mapper.dispatch_range_measurement(
                 cloud, measurement.time,
                 odom_pending=measurement.odom_pending)
+            if mp is not None:
+                self.mapper.finalize_range_measurement(mp)
             # Attribute the async submap-insert program to THIS stage on
             # sampled invocations (see TelemetryRegistry.sync).
             if t.recording:
                 self.telemetry.sync(self.submaps.get_active_submap().map_cloud)
         self.latest_scan_to_map_refinement_time = measurement.time
+        self._post_mapping_stages(measurement, cloud)
+        return True
+
+    def _post_mapping_stages(self, measurement: TimestampedPointCloud, cloud):
+        """Stages downstream of the mapper per scan: dense map, feature
+        computation, loop closures, optimized-graph application."""
         # Dense map stage (denseMapWorker, :363-386).
         if self.params.mapper.is_build_dense_map:
             with self.telemetry.timer("dense_map", sampled=True) as t:
@@ -193,6 +204,19 @@ class SlamWrapper:
             self.attempt_loop_closures_if_ready()
         self.check_if_optimized_graph_available()
         self.telemetry.maybe_print()
+
+    def _flush_map_pending(self) -> bool:
+        """Finalize the in-flight pipelined mapping step, if any."""
+        if self._map_pending is None:
+            return False
+        mp, measurement, cloud = self._map_pending
+        self._map_pending = None
+        with self.telemetry.timer("mapping", sampled=True) as t:
+            self.mapper.finalize_range_measurement(mp)
+            if t.recording:
+                self.telemetry.sync(self.submaps.get_active_submap().map_cloud)
+        self.latest_scan_to_map_refinement_time = measurement.time
+        self._post_mapping_stages(measurement, cloud)
         return True
 
     def compute_features_if_ready(self):
@@ -287,6 +311,56 @@ class SlamWrapper:
         if not self.add_range_scan(points, timestamp, colors=colors):
             return False
         return self.process_queued() > 0
+
+    def process_scan_pipelined(self, points: np.ndarray, timestamp: float,
+                               colors: Optional[np.ndarray] = None) -> bool:
+        """Pipelined ingest: one scan in flight across stage boundaries.
+
+        The reference overlaps its stages with racing worker threads
+        (``SlamWrapper.cpp:228-234``); on one chip every device program
+        executes serially anyway, so the only real overlap to win is hiding
+        the blocking per-scan device->host pull (a full tunnel round-trip)
+        and the host bookkeeping behind device compute.  Per call, in order:
+
+          1. ingest scan t, dispatch its odometry (queued on device);
+          2. dispatch scan t's pose-independent mapper preprocessing;
+          3. finalize scan t-1's mapping (the ONE blocking pull — its
+             transfer latency now overlaps the device executing 1+2);
+          4. dispatch scan t's scan-to-map registration (after t-1's submap
+             insert, so the map patch is current).
+
+        Gate order, math, and rng sequence are identical to the sequential
+        mode; the single behavioral difference is that motion-compensation
+        velocity estimates use the poses available at DISPATCH time (one
+        scan staler), exactly like the reference's free-running undistort
+        thread reading whatever the pose buffer holds when it pops a scan
+        (``MotionCompensation.cpp:32-57``).
+
+        Call ``finish_processing`` (which drains the in-flight step) before
+        reading trajectories/maps.
+        """
+        if not self.add_range_scan(points, timestamp, colors=colors):
+            return False
+        self._odometry_step()
+        measurement = self.mapping_buffer.pop()
+        if measurement is None:
+            return True
+        cloud = self._undistort(measurement, "map")
+        processed = None
+        if not self.submaps.get_active_submap().is_empty():
+            # Phase A (pose-independent prep) rides ahead of the previous
+            # scan's finalize pull.  First-scan path handles its own prep.
+            processed = self.mapper.preprocess_scan(cloud)
+        self._flush_map_pending()
+        mp, _ = self.mapper.dispatch_range_measurement(
+            cloud, measurement.time, odom_pending=measurement.odom_pending,
+            processed=processed)
+        if mp is not None:
+            self._map_pending = (mp, measurement, cloud)
+        else:
+            self.latest_scan_to_map_refinement_time = measurement.time
+            self._post_mapping_stages(measurement, cloud)
+        return True
 
 
     def finish_processing(self):

@@ -153,9 +153,6 @@ class Submap:
             points=se3.transform_points(Tj, self.map_cloud.points),
             normals=(None if self.map_cloud.normals is None
                      else se3.rotate_vectors(Tj, self.map_cloud.normals)))
-        # Points moved -> packed voxel keys are stale; next insert rebuilds.
-        self.store_keys = None
-        self.store_base = None
         self.dense_map = dense_map.transform(self.dense_map, Tj)
         if self.feature_cloud is not None:
             self.feature_cloud = self.feature_cloud.with_(

@@ -126,6 +126,63 @@ def estimate_normals(pc: PointCloud, radius, max_nn: int = 20,
     return pc.with_(normals=normals)
 
 
+@partial(jax.jit, static_argnames=("max_nn", "bucket_size", "method",
+                                   "interpret"))
+def estimate_normals_at(queries: PointCloud, support: PointCloud, radius,
+                        max_nn: int = 20,
+                        orientation_reference: Optional[jnp.ndarray] = None,
+                        bucket_size: int = 16, method: str = "auto",
+                        interpret: bool = False) -> PointCloud:
+    """Normals at ``queries`` from neighborhoods of a SUPPORT cloud.
+
+    When the queries are a subset of the support (the downsample-then-
+    estimate ordering of the mapper's preprocessing), the result equals
+    ``estimate_normals(support)`` restricted to the query rows — at M/N of
+    the kernel cost (the reference pays the full N: Open3D estimates
+    normals on the whole voxelized cloud before ``RandomDownSample``,
+    ``ScanToMapRegistration.cpp:35-41``; here the support stays the full
+    cloud, so the PCA planes are identical)."""
+    m = queries.capacity
+    if method == "auto":
+        bm, _ = _flash_blocks(m)
+        _, bn = _flash_blocks(support.capacity)
+        method = ("flash" if jax.default_backend() == "tpu"
+                  and bm is not None and bn is not None else "probe")
+    if method == "flash":
+        from open3d_slam_tpu.ops import pallas_normals
+        bm, _ = _flash_blocks(m)
+        _, bn = _flash_blocks(support.capacity)
+        dk2 = pallas_normals.kth_neighbor_d2_at(
+            queries.points, support.points, support.mask, max_nn)
+        r_pp = pallas_normals.hybrid_radius(radius, dk2)
+        mom = pallas_normals.radius_moments_at(
+            queries.points, support.points, support.mask, r_pp,
+            block_m=bm, block_n=bn, interpret=interpret)
+        cnt, cov = pallas_normals.moments_to_covariance(mom)
+        cnt = cnt[:, None]
+        normals = smallest_eigvec_sym3(cov)
+    else:
+        grid = hashgrid.build(support, cell_size=radius)
+        idx, d2, valid = hashgrid.query_radius(
+            grid, queries.points, radius, bucket_size=bucket_size,
+            max_neighbors=max_nn)
+        neigh = grid.points_sorted[idx]                   # (M, K, 3)
+        w = valid.astype(jnp.float32)[..., None]          # (M, K, 1)
+        cnt = jnp.sum(w, axis=1)                          # (M, 1)
+        mean = jnp.sum(neigh * w, axis=1) / jnp.clip(cnt, 1.0, None)
+        d = (neigh - mean[:, None, :]) * w
+        cov = jnp.einsum("nki,nkj->nij", d, d) / jnp.clip(cnt[..., None], 1.0, None)
+        normals = smallest_eigvec_sym3(cov)
+    ez = jnp.zeros_like(normals).at[:, 2].set(1.0)
+    normals = jnp.where(cnt < 3.0, ez, normals)
+    ref = (jnp.zeros((3,), queries.points.dtype)
+           if orientation_reference is None else orientation_reference)
+    to_cam = ref[None, :] - queries.points
+    flip = jnp.sum(normals * to_cam, axis=-1) < 0.0
+    normals = jnp.where(flip[:, None], -normals, normals)
+    return queries.with_(normals=normals)
+
+
 @partial(jax.jit, static_argnames=("max_nn", "bucket_size"))
 def estimate_covariances(pc: PointCloud, radius, max_nn: int = 20,
                          epsilon: float = 1e-3,

@@ -73,12 +73,29 @@ def radius_moments(points: jnp.ndarray, mask: jnp.ndarray, radius,
     positions, cols 4:10 = sums of (xx, xy, xz, yy, yz, zz) — all in
     centroid-centered coordinates; cols 10: unused.
     """
+    return radius_moments_at(points, points, mask, radius,
+                             block_m=block_m, block_n=block_n,
+                             interpret=interpret)
+
+
+@partial(jax.jit, static_argnames=("block_m", "block_n", "interpret"))
+def radius_moments_at(query_points: jnp.ndarray, points: jnp.ndarray,
+                      mask: jnp.ndarray, radius,
+                      block_m: int = 256, block_n: int = 2048,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Radius-neighborhood moments of ``query_points`` against a SUPPORT
+    cloud ``points``/``mask`` — the two-cloud generalization (kernel cost
+    scales with M*N instead of N^2, so estimating normals only at a
+    downsampled subset with full-cloud support is M/N cheaper).  ``radius``
+    may be scalar or per-QUERY (M,).  Returns (M, 16) as above."""
+    m = query_points.shape[0]
     n = points.shape[0]
-    assert n % block_m == 0 and n % block_n == 0, (n, block_m, block_n)
+    assert m % block_m == 0 and n % block_n == 0, (m, n, block_m, block_n)
     maskf = mask.astype(jnp.float32)
     cnt = jnp.clip(jnp.sum(maskf), 1.0, None)
     centroid = jnp.sum(points * maskf[:, None], axis=0) / cnt
     p = points - centroid                            # center for f32 moments
+    q = query_points - centroid
     x, y, z = p[:, 0], p[:, 1], p[:, 2]
     feats = jnp.stack(
         [jnp.ones_like(x), x, y, z, x * x, x * y, x * z, y * y, y * z, z * z],
@@ -86,8 +103,8 @@ def radius_moments(points: jnp.ndarray, mask: jnp.ndarray, radius,
     feats = jnp.concatenate(
         [feats, jnp.zeros((n, 6), jnp.float32)], axis=1)   # (N, 16)
     r2 = jnp.broadcast_to(
-        jnp.asarray(radius, jnp.float32) ** 2, (n,)).reshape(n, 1)
-    grid = (n // block_m, n // block_n)
+        jnp.asarray(radius, jnp.float32) ** 2, (m,)).reshape(m, 1)
+    grid = (m // block_m, n // block_n)
     return pl.pallas_call(
         _moments_kernel,
         grid=grid,
@@ -105,9 +122,9 @@ def radius_moments(points: jnp.ndarray, mask: jnp.ndarray, radius,
         ],
         out_specs=pl.BlockSpec((block_m, 16), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, 16), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((m, 16), jnp.float32),
         interpret=interpret,
-    )(r2, p, p.T, maskf[None, :], feats)
+    )(r2, q, p.T, maskf[None, :], feats)
 
 
 @partial(jax.jit, static_argnames=("k", "chunk", "exact"))
@@ -128,11 +145,22 @@ def kth_neighbor_d2(points: jnp.ndarray, mask: jnp.ndarray, k: int,
     measurably irrelevant to the PCA normal.  Pass ``exact=True`` for
     bit-exact Open3D semantics (tests, parity studies).
     """
-    n = points.shape[0]
-    chunk = min(chunk, n)
-    while n % chunk != 0:
+    return kth_neighbor_d2_at(points, points, mask, k, chunk=chunk,
+                              exact=exact)
+
+
+@partial(jax.jit, static_argnames=("k", "chunk", "exact"))
+def kth_neighbor_d2_at(query_points: jnp.ndarray, points: jnp.ndarray,
+                       mask: jnp.ndarray, k: int,
+                       chunk: int = 512, exact: bool = False) -> jnp.ndarray:
+    """Two-cloud form: per-query squared distance to the k-th nearest
+    SUPPORT point (when the queries are a subset of the support, "self
+    counts" semantics are preserved because the query is in the support)."""
+    m = query_points.shape[0]
+    chunk = min(chunk, m)
+    while m % chunk != 0:
         chunk //= 2
-    k = min(k, n)
+    k = min(k, points.shape[0])
     t2 = jnp.where(mask, jnp.sum(points * points, axis=1), jnp.inf)
 
     def body(_, q):
@@ -146,9 +174,9 @@ def kth_neighbor_d2(points: jnp.ndarray, mask: jnp.ndarray, k: int,
         negv, _ = jax.lax.approx_min_k(d2, k, recall_target=0.99)
         return None, negv[:, k - 1]
 
-    qs = points.reshape(n // chunk, chunk, 3)
+    qs = query_points.reshape(m // chunk, chunk, 3)
     _, dk = jax.lax.scan(body, None, qs)
-    return jnp.clip(dk.reshape(n), 0.0, None)
+    return jnp.clip(dk.reshape(m), 0.0, None)
 
 
 def hybrid_radius(radius, dk2: jnp.ndarray) -> jnp.ndarray:

@@ -41,13 +41,17 @@ from open3d_slam_tpu.utils.pointcloud import PointCloud
 
 
 def point_keys(points: jnp.ndarray, valid: jnp.ndarray, voxel_size: float,
-               base: jnp.ndarray, keep_out_of_region: bool) -> jnp.ndarray:
-    """Packed voxel keys; invalid -> INT32_MAX; out-of-region -> either
-    OUT_OF_REGION (kept as singletons; map side) or INT32_MAX (dropped;
-    scan side, where out-of-region is impossible by crop-radius anyway)."""
+               base: jnp.ndarray,
+               mergeable: jnp.ndarray = None) -> jnp.ndarray:
+    """Packed voxel keys; invalid -> INT32_MAX (dropped); out-of-region or
+    not-``mergeable`` -> OUT_OF_REGION (kept verbatim as singletons —
+    ``voxelizeWithinCroppingVolume``'s pass-through for points outside the
+    cropping volume, ``helpers.cpp:152-158``)."""
     packed = pack_coords(voxel_coords(points, voxel_size), base)
-    oor = jnp.int32(OUT_OF_REGION if keep_out_of_region else INT32_MAX)
-    keys = jnp.where(packed >= 0, packed, oor)
+    ok = packed >= 0
+    if mergeable is not None:
+        ok = ok & mergeable
+    keys = jnp.where(ok, packed, jnp.int32(OUT_OF_REGION))
     return jnp.where(valid, keys, jnp.int32(INT32_MAX))
 
 
@@ -70,12 +74,16 @@ def insert_scan_fused(map_cloud: PointCloud, scan: PointCloud,
     spts = se3.transform_points(T, scan.points)
     snrm = (se3.rotate_vectors(T, scan.normals)
             if scan.normals is not None else None)
-    inside = cropper.is_inside(spts, T[:3, 3]) & scan.mask & enable
+    valid_scan = scan.mask & enable
+    inside = cropper.is_inside(spts, T[:3, 3])
 
-    mkeys = point_keys(map_cloud.points, map_cloud.mask, voxel_size, base,
-                       keep_out_of_region=True)
-    skeys = point_keys(spts, inside, voxel_size, base,
-                       keep_out_of_region=False)
+    mkeys = point_keys(map_cloud.points, map_cloud.mask, voxel_size, base)
+    # Scan points OUTSIDE the map-builder cropping volume are kept verbatim
+    # (OUT_OF_REGION singleton), matching the reference's map content
+    # (``Submap.cpp:71-74`` + ``helpers.cpp:152-158``); with the shipped
+    # configs (scan crop radius == map-builder crop radius) the class is
+    # empty, so the hot path keeps the cheap inexact pass-through.
+    skeys = point_keys(spts, valid_scan, voxel_size, base, mergeable=inside)
 
     def cat(a, b):
         if a is None and b is None:

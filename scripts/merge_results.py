@@ -43,7 +43,8 @@ bench snapshot below is the session-robust latency metric.
 
 def latest_bench():
     """Newest BENCH_r*.json parsed dict, or None."""
-    paths = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")),
+    paths = sorted((p for p in glob.glob(os.path.join(REPO, "BENCH_r*.json"))
+                    if re.search(r"r(\d+)", p)),
                    key=lambda p: int(re.search(r"r(\d+)", p).group(1)))
     if not paths:
         return None, None

@@ -141,3 +141,30 @@ def test_flash_hybrid_max_nn_exact(rng):
                                          method="flash", interpret=True)
     z = np.abs(np.asarray(flash.normals)[:, 2])
     assert float(np.median(z)) > 0.999
+
+
+def test_estimate_normals_at_subset_equals_full(rng):
+    """Normals at a query SUBSET with full-cloud support must equal the
+    full-cloud estimate restricted to those rows (the downsample-then-
+    estimate reorder of the preprocess chain is exact)."""
+    n, m = 512, 128
+    pts = np.stack([rng.uniform(-4, 4, n), rng.uniform(-4, 4, n),
+                    rng.normal(scale=0.02, size=n)], axis=1).astype(np.float32)
+    support = pclib.from_numpy(pts, capacity=n)
+    sel = rng.choice(n, m, replace=False)
+    queries = pclib.from_numpy(pts[sel], capacity=m)
+
+    # Probe path (CPU): exact row-wise equality.
+    full = normals_ops.estimate_normals(support, 1.0, max_nn=12,
+                                        method="probe")
+    sub = normals_ops.estimate_normals_at(queries, support, 1.0, max_nn=12,
+                                          method="probe")
+    np.testing.assert_allclose(np.asarray(sub.normals),
+                               np.asarray(full.normals)[sel], atol=1e-5)
+
+    # Flash path (interpret): same planes as the probe subset.
+    flash = normals_ops.estimate_normals_at(
+        queries, support, 1.0, max_nn=12, method="flash", interpret=True)
+    dots = np.abs(np.sum(np.asarray(flash.normals) *
+                         np.asarray(sub.normals), axis=1))
+    assert float(np.median(dots)) > 0.999

@@ -1,0 +1,78 @@
+"""Pipelined replay (process_scan_pipelined) vs the sequential pipeline.
+
+With motion compensation OFF the pipelined mode dispatches the exact same
+device programs in the same per-scan order (prep -> finalize(t-1) -> s2m),
+so gates, rng sequence, and trajectories must MATCH the sequential mode
+(the offline analog of the reference's overlapped worker threads,
+``RosbagRangeDataProcessorRos.cpp:52-125`` + ``SlamWrapper.cpp:228-234``).
+"""
+import numpy as np
+
+from open3d_slam_tpu.io import datasets
+from open3d_slam_tpu.models.slam_wrapper import SlamWrapper
+
+from test_async_and_regtypes import small_params
+
+
+def _seq(n=10):
+    return datasets.make_synthetic_sequence(
+        n_scans=n, trajectory="straight", step=0.4, n_points=4000,
+        max_range=22.0,
+        world_cfg=datasets.SyntheticWorldConfig(
+            extent=22.0, n_ground=30000, n_walls=20000, n_pillars=10000))
+
+
+def _run(seq, pipelined):
+    slam = SlamWrapper(small_params())
+    for scan, t in zip(seq.scans, seq.timestamps):
+        if pipelined:
+            slam.process_scan_pipelined(scan, t)
+        else:
+            slam.process_scan(scan, t)
+    slam.finish_processing()
+    return slam
+
+
+def test_pipelined_matches_sequential():
+    seq = _seq()
+    s_sync = _run(seq, pipelined=False)
+    s_pipe = _run(seq, pipelined=True)
+
+    t_sync, p_sync = s_sync.get_trajectory()
+    t_pipe, p_pipe = s_pipe.get_trajectory()
+    assert t_sync == t_pipe
+    assert len(p_sync) == len(seq.scans)
+    for a, b in zip(p_sync, p_pipe):
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+    # Same odometry chain + health counters.
+    np.testing.assert_allclose(
+        s_sync.odometry.odom_to_range_sensor_cumulative,
+        s_pipe.odometry.odom_to_range_sensor_cumulative, atol=1e-6)
+    assert s_sync.get_health() == s_pipe.get_health()
+    # Nothing left in flight after finish_processing.
+    assert s_pipe._map_pending is None
+    assert not s_pipe.odometry._pending
+
+
+def test_pipelined_loop_closure_sequence():
+    """Loop-closure machinery still runs under pipelined replay: drive a
+    small circle with closures enabled and check the run completes with a
+    coherent trajectory (gate traffic exercised via health counters)."""
+    seq = datasets.make_synthetic_sequence(
+        n_scans=12, trajectory="circle", radius=6.0,
+        angle_total=2 * np.pi * 1.1, n_points=4000, max_range=22.0,
+        world_cfg=datasets.SyntheticWorldConfig(
+            extent=22.0, n_ground=30000, n_walls=20000, n_pillars=10000))
+    p = small_params()
+    p.mapper.is_attempt_loop_closures = True
+    p.mapper.submaps.radius = 4.0   # force several submaps
+    slam = SlamWrapper(p)
+    for scan, t in zip(seq.scans, seq.timestamps):
+        slam.process_scan_pipelined(scan, t)
+    slam.finish_processing()
+    _, poses = slam.get_trajectory()
+    assert len(poses) == len(seq.scans)
+    h = slam.get_health()
+    assert h["n_submaps"] >= 2
+    assert all(np.isfinite(T).all() for T in poses)

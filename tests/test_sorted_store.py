@@ -45,8 +45,7 @@ def _voxel_means(cloud, vs=VS):
 def test_merge_matches_bruteforce_means(rng):
     pc = _mk_cloud(rng, 600, 1024)
     base = region_base_from_center(jnp.zeros(3, jnp.int32))
-    keys = sorted_store.point_keys(pc.points, pc.mask, VS, base,
-                                   keep_out_of_region=False)
+    keys = sorted_store.point_keys(pc.points, pc.mask, VS, base)
     out = sorted_store.merge_clouds_by_voxel(
         keys, pc.points, pc.normals, None, VS, base, out_capacity=1024)
     want = _voxel_means(pc)
@@ -164,8 +163,10 @@ def test_overflow_keeps_uniform_stride(rng):
 
 
 def test_cropper_limits_scan_not_map(rng):
-    """Scan points outside the cropping volume are dropped; existing map
-    points outside it pass through (Submap.cpp:39-75 semantics)."""
+    """Points outside the map-builder cropping volume — scan AND existing
+    map — pass through verbatim; only in-volume points are voxel-averaged
+    (``voxelizeWithinCroppingVolume`` pass-through, ``helpers.cpp:152-158``
+    via ``Submap.cpp:71-74``)."""
     cap = 256
     far_map = pclib.from_numpy(
         np.array([[40.0, 0.0, 0.0]], np.float32), capacity=cap)
@@ -176,8 +177,9 @@ def test_cropper_limits_scan_not_map(rng):
     out = sorted_store.insert_scan_fused(
         far_map, scan, jnp.eye(4), cropper, VS, jnp.asarray(True))
     got = np.sort(pclib.to_numpy(out)["points"][:, 0])
-    np.testing.assert_allclose(got, [1.0 + VS / 2 - 0.125, 40.0], atol=0.2)
-    assert int(out.count()) == 2
+    np.testing.assert_allclose(got, [1.0 + VS / 2 - 0.125, 35.0, 40.0],
+                               atol=0.2)
+    assert int(out.count()) == 3
 
 
 def test_dense_map_far_from_origin_precision(rng):
