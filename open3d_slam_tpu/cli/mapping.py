@@ -36,6 +36,14 @@ def build_parser() -> argparse.ArgumentParser:
                     help="run a named spinning-beam simulated benchmark "
                          "sequence (io.lidar_sim.BENCHMARK_SEQUENCES; "
                          "'list' to enumerate)")
+    ap.add_argument("--kitti", metavar="DIR",
+                    help="replay a KITTI odometry sequence directory "
+                         "(velodyne/*.bin + optional times.txt, poses.txt — "
+                         "the reference's KITTI 00/02/17 examples, "
+                         "documentation/source/examples.rst:7-36); defaults "
+                         "to the HDL-64 sensor config")
+    ap.add_argument("--max-scans", type=int, default=0,
+                    help="with --kitti: cap the number of scans loaded")
     ap.add_argument("--undistort", action="store_true",
                     help="enable constant-velocity motion compensation")
     ap.add_argument("--eval-json", metavar="PATH",
@@ -158,6 +166,22 @@ def main(argv=None) -> int:
               f"{spec.n_scans} scans)...")
         seq = lidar_sim.make_sim_sequence(spec)
         seq_name = spec.name
+    elif args.kitti:
+        from open3d_slam_tpu.io import kitti
+        vdir = args.kitti
+        if os.path.isdir(os.path.join(vdir, "velodyne")):
+            seq_dir, vdir = vdir, os.path.join(vdir, "velodyne")
+        else:
+            seq_dir = os.path.dirname(vdir.rstrip("/")) or vdir
+        seq = kitti.load_kitti_sequence(
+            vdir,
+            times_file=os.path.join(seq_dir, "times.txt"),
+            poses_file=os.path.join(seq_dir, "poses.txt"),
+            max_scans=args.max_scans or None)
+        seq_name = "kitti_" + os.path.basename(os.path.abspath(seq_dir))
+        if args.param is None:
+            args.param = cfg.config_path("velodyne_hdl64_kitti.yaml")
+            print("using sensor config", args.param)
 
     params = load_params(args.param)
     if args.save_map:
@@ -170,7 +194,7 @@ def main(argv=None) -> int:
     if args.undistort:
         params.motion_compensation.is_undistort_input_cloud = True
 
-    if args.sim:
+    if args.sim or args.kitti:
         pass
     elif args.synthetic:
         seq = datasets.make_synthetic_sequence(
@@ -181,7 +205,8 @@ def main(argv=None) -> int:
         seq = datasets.load_sequence(args.sequence)
         seq_name = args.sequence.rstrip("/").split("/")[-1]
     else:
-        print("need --sequence, --sim, or --synthetic", file=sys.stderr)
+        print("need --sequence, --sim, --kitti, or --synthetic",
+              file=sys.stderr)
         return 2
 
     slam = SlamWrapper(params)

@@ -524,11 +524,25 @@ BENCHMARK_SEQUENCES = {
         name="vlp16_yard_circle", sensor="vlp16", world="yard",
         trajectory="circle", n_scans=260, seed=0,
         traj_kwargs=dict(radius=12.0), param_file="velodyne_puck16.yaml"),
-    # Figure-8, both turn directions, ~2.6 m/s.
+    # Figure-8, both turn directions, ~3.5 m/s.  a=28 spans ~56 m so the
+    # self-crossing lands in a NON-adjacent submap on the second pass (the
+    # r4 a=12 course fit inside two 20 m submaps and could never close —
+    # a drift showcase, not a loop-closure benchmark).
     "vlp16_yard_figure8": SimSequenceSpec(
         name="vlp16_yard_figure8", sensor="vlp16", world="yard",
-        trajectory="figure8", n_scans=240, seed=2,
-        world_kwargs=dict(extent=45.0), traj_kwargs=dict(a=12.0),
+        trajectory="figure8", n_scans=500, seed=2,
+        world_kwargs=dict(extent=75.0), traj_kwargs=dict(a=28.0),
+        param_file="velodyne_puck16.yaml"),
+    # 75 m loop driven 2.3 times at ~3.1 m/s: lap 2 re-enters every lap-1
+    # region, so each finished lap-2 submap is a loop-closure candidate
+    # against its non-adjacent lap-1 neighbor — the multi-closure benchmark
+    # (constraint dedup, BFS min-submaps-between gating, and repeated
+    # optimize/apply rounds all see real traffic;
+    # AdjacencyMatrix.cpp:23-55, OptimizationProblem.cpp:177-189).
+    "vlp16_yard_two_loops": SimSequenceSpec(
+        name="vlp16_yard_two_loops", sensor="vlp16", world="yard",
+        trajectory="circle", n_scans=560, seed=5,
+        traj_kwargs=dict(radius=12.0, period=560 / 10.0 / 2.3),
         param_file="velodyne_puck16.yaml"),
     # 138 m loop at ~8 m/s (vehicle speed, KITTI-class sensor).  period is
     # explicit: vehicles legitimately exceed the walking-speed default floor.

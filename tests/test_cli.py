@@ -128,3 +128,36 @@ def test_map_initializer_unit():
     assert slam.params.mapper.is_ignore_min_refinement_fitness is True  # deferred
     ini.notify_scan_processed()
     assert slam.params.mapper.is_ignore_min_refinement_fitness is False
+
+
+def test_mapping_cli_kitti(tmp_path, capsys):
+    """--kitti replays a KITTI-format directory (synthetic .bin/times.txt/
+    poses.txt round-trip) end-to-end through SlamWrapper — proves the
+    real-data ingestion path works (examples.rst:7-36)."""
+    seq = datasets.make_synthetic_sequence(
+        n_scans=6, trajectory="straight", step=0.4, n_points=4000,
+        max_range=22.0,
+        world_cfg=datasets.SyntheticWorldConfig(
+            extent=22.0, n_ground=30000, n_walls=20000, n_pillars=10000))
+    folder = tmp_path / "kitti00"
+    (folder / "velodyne").mkdir(parents=True)
+    for i, s in enumerate(seq.scans):
+        rec = np.concatenate(
+            [s, np.zeros((s.shape[0], 1), np.float32)], axis=1)
+        rec.astype(np.float32).tofile(str(folder / "velodyne" / f"{i:06d}.bin"))
+    (folder / "times.txt").write_text(
+        "\n".join(str(t) for t in seq.timestamps))
+    (folder / "poses.txt").write_text(
+        "\n".join(" ".join(str(v) for v in T[:3, :4].reshape(-1))
+                  for T in seq.ground_truth))
+    out = tmp_path / "eval.json"
+    rc = mapping.main(["--kitti", str(folder),
+                       "--param", small_param_file(tmp_path),
+                       "--eval-json", str(out), "--no-skip-first"])
+    assert rc == 0
+    import json
+    with open(out) as f:
+        metrics = json.load(f)
+    assert metrics["sequence"] == "kitti_kitti00"
+    assert metrics["n_scans"] == 6
+    assert metrics["ate_rmse_m"] < 1.0
