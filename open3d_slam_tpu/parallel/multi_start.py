@@ -8,6 +8,7 @@ scan -> fitness ranking -> full ICP refinement of the best candidates.
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Tuple
 
@@ -69,37 +70,45 @@ def _chunked_vmap(fn, xs: jnp.ndarray, chunk: int):
         lambda a: a.reshape(n, *a.shape[2:]), out)
 
 
-def _batched_localize(scan_small: PointCloud, scan_rank: PointCloud,
-                      scan_full: PointCloud,
+def _batched_localize(scan_small: PointCloud, scan_mid: PointCloud,
+                      scan_rank: PointCloud, scan_full: PointCloud,
                       coarse_grid: hashgrid.HashGrid,
                       mid_grid: hashgrid.HashGrid,
                       grid: hashgrid.HashGrid, inits: jnp.ndarray,
                       coarse_corr_dist, mid_corr_dist, max_corr_dist,
-                      coarse_iters: int = 10, mid_iters: int = 15,
-                      refine_iters: int = 20, top_k: int = 64):
-    """Three-stage batched localization funnel:
+                      coarse_iters: int = 10, mid_iters: int = 12,
+                      refine_iters: int = 12, top_k: int = 64,
+                      profile: bool = False):
+    """Multi-resolution batched localization funnel:
       1. coarse point-to-plane sweep of ALL hypotheses at ~grid-spacing
-         correspondence distance (subsampled scan) — lands within ~1-2 m;
-      2. rank by tight-distance score on the FULL downsampled scan, keep a
-         GENEROUS top_k (measured: the true basin can rank ~35th of 256
-         on the coarse score);
+         correspondence distance (subsampled scan vs a COARSE-voxel map —
+         a 5 m basin does not need a 0.3 m map; measured ~3x cheaper) —
+         lands within ~1-2 m;
+      2. rank by tight-distance score at the coarse poses: the fused
+         batched kernel with ``max_iterations=0`` IS evaluate_registration
+         for the whole batch in one sweep (bit-identical fitness/rmse,
+         measured; keep a GENEROUS top_k — the true basin can rank ~35th
+         of 256 on the coarse score);
       3. mid-distance POINT-TO-POINT pull-in of the top_k (point-to-plane
          diverges from ~1.4 m offsets on plane-dominated scenes; P2P's
-         translation basin is much wider), then tight point-to-plane
-         refinement; winner by fitness - rmse.
+         translation basin is much wider) on a 1024-point subsample vs a
+         mid-voxel map;
+      4. tight batched point-to-plane refinement on the 2048-point rank
+         cloud; winner by fitness - rmse;
+      5. ONE final full-scan registration of the winner at full map
+         resolution recovers the precision the funnel subsamples away.
 
     On TPU the point-to-plane stages run through the NATIVELY-BATCHED fused
     Pallas kernel in its shared-map layout (the map streams from HBM once
     per sweep for the whole hypothesis batch — the kernel was designed for
-    exactly this workload); the remaining stages run un-vmapped under
-    ``lax.map`` so the NN routes to the fused flash kernel (a vmapped
-    bruteforce sweep would materialize (chunk, m, n) distance blocks and is
-    ~10x slower).  On CPU the probe path vmaps cheaply, so chunks stay
-    wide.  Deliberately NOT wrapped in one outer jit: fusing all the
-    chunked loops into a single XLA program deterministically faults the
-    v5e TPU worker runtime (the stages dispatched separately run fine), and
-    the inter-stage glue is a few tiny transfers against a seconds-scale
-    device workload.
+    exactly this workload); the P2P stage runs un-vmapped under ``lax.map``
+    so the NN routes to the fused flash kernel (a vmapped bruteforce sweep
+    would materialize (chunk, m, n) distance blocks and is ~10x slower).
+    On CPU the probe path vmaps cheaply, so chunks stay wide.  Deliberately
+    NOT wrapped in one outer jit: fusing all the chunked loops into a
+    single XLA program deterministically faults the v5e TPU worker runtime
+    (the stages dispatched separately run fine), and the inter-stage glue
+    is a few tiny transfers against a seconds-scale device workload.
     """
     from open3d_slam_tpu.ops import pallas_icp
     tpu = jax.default_backend() == "tpu"
@@ -108,7 +117,25 @@ def _batched_localize(scan_small: PointCloud, scan_rank: PointCloud,
     batched_ok = (tpu and coarse_grid.normals_sorted is not None and
                   pallas_icp.supports(scan_small.capacity,
                                       coarse_grid.capacity) and
-                  pallas_icp.supports(scan_full.capacity, grid.capacity))
+                  pallas_icp.supports(scan_rank.capacity, grid.capacity))
+
+    if profile:
+        import time as _time
+
+        def _mark(name, out):
+            leaves = [a for a in jax.tree_util.tree_leaves(out)
+                      if hasattr(a, "block_until_ready")]
+            if leaves:
+                jax.device_get([jnp.ravel(a)[:1] for a in leaves])
+            now = _time.perf_counter()
+            print(f"[localize] {name:8s}: {(now - _mark.t0) * 1e3:8.1f} ms "
+                  f"(batched_ok={batched_ok})", flush=True)
+            _mark.t0 = now
+        _mark.t0 = _time.perf_counter()
+    else:
+        def _mark(name, out):
+            pass
+
     if batched_ok:
         coarse = reg_ops.batched_icp_point_to_plane(
             scan_small, coarse_grid, inits, coarse_corr_dist,
@@ -118,30 +145,43 @@ def _batched_localize(scan_small: PointCloud, scan_rank: PointCloud,
             scan_small, coarse_grid, T0, coarse_corr_dist,
             max_iterations=coarse_iters, bucket_size=8, nn_method=nn),
             inits, chunk=cc)
+    _mark("coarse", coarse)
     # Wide-distance fitness saturates (everything snaps to the dominant
     # plane); rank candidates by TIGHT-distance fitness at the coarse
     # result, on a mid-size subsample (512 points under-rank the true
     # basin; the full cloud pays NN cost for no extra discrimination).
-    tight = _chunked_vmap(lambda T0: reg_ops.evaluate_registration(
-        scan_rank, grid, T0, max_corr_dist, nn_method=nn),
-        coarse.transformation, chunk=ce)
+    if batched_ok:
+        tight = reg_ops.batched_icp_point_to_plane(
+            scan_rank, grid, coarse.transformation, max_corr_dist,
+            max_iterations=0)
+    else:
+        tight = _chunked_vmap(lambda T0: reg_ops.evaluate_registration(
+            scan_rank, grid, T0, max_corr_dist, nn_method=nn),
+            coarse.transformation, chunk=ce)
+    _mark("rank", tight)
     score = tight.fitness - tight.inlier_rmse
     _, best_idx = jax.lax.top_k(score, top_k)
     best_inits = coarse.transformation[best_idx]
     mid = _chunked_vmap(lambda T0: reg_ops.icp_point_to_point(
-        scan_rank, mid_grid, T0, mid_corr_dist, max_iterations=mid_iters,
+        scan_mid, mid_grid, T0, mid_corr_dist, max_iterations=mid_iters,
         nn_method=nn), best_inits, chunk=ce)
+    _mark("mid", mid)
     if batched_ok:
         refined = reg_ops.batched_icp_point_to_plane(
-            scan_full, grid, mid.transformation, max_corr_dist,
+            scan_rank, grid, mid.transformation, max_corr_dist,
             max_iterations=refine_iters)
     else:
         refined = _chunked_vmap(lambda T0: reg_ops.icp_point_to_plane(
-            scan_full, grid, T0, max_corr_dist, max_iterations=refine_iters,
+            scan_rank, grid, T0, max_corr_dist, max_iterations=refine_iters,
             nn_method=nn), mid.transformation, chunk=ce)
+    _mark("refine", refined)
     score_r = refined.fitness - refined.inlier_rmse
     win = jnp.argmax(score_r)
-    return refined.transformation[win], refined.fitness[win]
+    final = reg_ops.icp_point_to_plane(
+        scan_full, grid, refined.transformation[win], max_corr_dist,
+        max_iterations=10, nn_method=nn)
+    _mark("final", final)
+    return final.transformation, final.fitness
 
 
 def global_localize(scan: PointCloud, map_cloud: PointCloud,
@@ -156,6 +196,10 @@ def global_localize(scan: PointCloud, map_cloud: PointCloud,
         voxel.random_downsample(scan_v, coarse_scan_points,
                                 jax.random.PRNGKey(11)),
         pclib.padded_capacity(coarse_scan_points))
+    n_mid = min(1024, scan_v.capacity)
+    scan_mid = pclib.compact_to(
+        voxel.random_downsample(scan_v, n_mid, jax.random.PRNGKey(13)),
+        pclib.padded_capacity(n_mid))
     n_rank = min(2048, scan_v.capacity)
     scan_rank = pclib.compact_to(
         voxel.random_downsample(scan_v, n_rank, jax.random.PRNGKey(12)),
@@ -174,12 +218,24 @@ def global_localize(scan: PointCloud, map_cloud: PointCloud,
     n_xy = max(1, int(np.sqrt(num_hypotheses / 8)))
     spacing = extent / max(n_xy - 1, 1)
     coarse_corr = max(icp.max_correspondence_distance, 0.75 * spacing)
-    coarse_grid = hashgrid.build(m, cell_size=coarse_corr)
     mid_corr = max(2.0 * icp.max_correspondence_distance, 2.0)
-    mid_grid = hashgrid.build(m, cell_size=mid_corr)
+    # Multi-resolution maps for the wide-basin stages: a coarse basin does
+    # not need a fine map, and the funnel's kernel cost scales with the
+    # map row count.  The final winner registration runs at full
+    # resolution, so no precision is lost.
+    coarse_map = normals_ops.estimate_normals(
+        voxel.voxel_downsample(m, max(0.5, float(coarse_corr) / 4.0),
+                               out_capacity=max(m.capacity // 4, 1024)),
+        radius=icp.max_distance_knn, max_nn=icp.knn)
+    coarse_grid = hashgrid.build(coarse_map, cell_size=coarse_corr)
+    mid_map = voxel.voxel_downsample(
+        m, max(0.4, float(mid_corr) / 5.0),
+        out_capacity=max(m.capacity // 2, 2048))
+    mid_grid = hashgrid.build(mid_map, cell_size=mid_corr)
     T, fitness = _batched_localize(
-        scan_small, scan_rank, scan_v, coarse_grid, mid_grid, grid,
+        scan_small, scan_mid, scan_rank, scan_v, coarse_grid, mid_grid, grid,
         jnp.asarray(inits),
         coarse_corr, mid_corr, icp.max_correspondence_distance,
-        top_k=min(64, int(inits.shape[0])))
+        top_k=min(64, int(inits.shape[0])),
+        profile=os.environ.get("O3D_LOCALIZE_PROFILE", "") == "1")
     return np.asarray(T, np.float64), float(fitness)
