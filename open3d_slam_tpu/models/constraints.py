@@ -65,6 +65,18 @@ def build_constraint(source_idx: int, target_idx: int, submaps,
         source = _masked(source, src_m)
         target = _masked(target, tgt_m)
 
+    # Compact the working clouds out of the full submap capacity: every
+    # device program below scales with CAPACITY, and >32k/64k points gain
+    # nothing for a 6-DoF constraint.  Uniform-stride subsample on
+    # overflow; the information matrix is rescaled to keep the reference's
+    # full-cloud magnitudes (GetInformationMatrixFromPointClouds sums over
+    # ALL source correspondences).
+    from open3d_slam_tpu.utils import pointcloud as pclib
+    n_src_full = int(source.count())
+    source = pclib.compact_to(source, min(source.capacity, 32768))
+    target = pclib.compact_to(target, min(target.capacity, 65536))
+    info_scale = max(1.0, n_src_full / max(1, int(source.count())))
+
     T_icp = jnp.eye(4)
     if not is_skip_icp_refinement:
         grid = hashgrid.build(target, cell_size=icp_max_corr_distance)
@@ -80,8 +92,9 @@ def build_constraint(source_idx: int, target_idx: int, submaps,
         pts = se3.transform_points(T_icp, source.points)
         idx, d2, found = hashgrid.query_nearest(grid, pts, icp_max_corr_distance)
         q = grid.points_sorted[idx]
-        info = np.asarray(pg_ops.information_matrix_from_correspondences(
-            q, found & source.mask), np.float64)
+        info = info_scale * np.asarray(
+            pg_ops.information_matrix_from_correspondences(
+                q, found & source.mask), np.float64)
 
     return Constraint(
         source_submap_idx=source_idx,

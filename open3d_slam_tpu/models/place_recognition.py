@@ -157,8 +157,22 @@ class PlaceRecognition:
             src_m, tgt_m = overlap_ops.overlapping_masks(
                 source_full, target_full, jnp.asarray(T_ransac, jnp.float32),
                 VOXEL_EXPANSION_OVERLAP * vox)
-            source_overlap = source_full.with_(mask=source_full.mask & src_m)
-            target_overlap = target_full.with_(mask=target_full.mask & tgt_m)
+            # Compact the overlap clouds out of the full submap capacity:
+            # the refinement kernel cost scales with CAPACITY, not point
+            # count, and a >32k/64k overlap gains nothing for a 6-DoF
+            # estimate (uniform-stride subsample on overflow; the
+            # information matrix is rescaled below so edge weights keep
+            # the reference's full-cloud magnitudes).
+            from open3d_slam_tpu.utils import pointcloud as pclib
+            src_masked = source_full.with_(mask=source_full.mask & src_m)
+            n_src_full = int(src_masked.count())
+            source_overlap = pclib.compact_to(
+                src_masked, min(source_full.capacity, 32768))
+            target_overlap = pclib.compact_to(
+                target_full.with_(mask=target_full.mask & tgt_m),
+                min(target_full.capacity, 65536))
+            info_scale = max(1.0, n_src_full /
+                             max(1, int(source_overlap.count())))
 
             prepared = self.registration.prepare_target(target_overlap)
             grid = prepared.grid
@@ -181,8 +195,9 @@ class PlaceRecognition:
             idx, d2, found = hashgrid.query_nearest(
                 grid, pts, p.max_icp_correspondence_distance)
             q = grid.points_sorted[idx]
-            info = np.asarray(pg_ops.information_matrix_from_correspondences(
-                q, found & source_overlap.mask), np.float64)
+            info = info_scale * np.asarray(
+                pg_ops.information_matrix_from_correspondences(
+                    q, found & source_overlap.mask), np.float64)
 
             constraints.append(Constraint(
                 source_submap_idx=last_finished_idx,
