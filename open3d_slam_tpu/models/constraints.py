@@ -49,6 +49,68 @@ def _masked(pc: PointCloud, mask) -> PointCloud:
     return pc.with_(mask=pc.mask & mask)
 
 
+from functools import lru_cache, partial as _partial  # noqa: E402
+
+import jax  # noqa: E402
+
+
+@lru_cache(maxsize=None)
+def _build_constraint_fn(is_compute_overlap: bool,
+                         icp_max_corr_distance: float,
+                         voxel_size_overlap: float,
+                         is_estimate_information_matrix: bool,
+                         is_skip_icp_refinement: bool,
+                         src_compact_cap: int, tgt_compact_cap: int):
+    """ONE jitted program for the whole constraint estimation: overlap ->
+    compact -> (optional ICP refine) -> correspondences -> information
+    matrix.  The host pulls (T_icp, info) in a single transfer — in a
+    congested tunnel session every extra blocking pull costs a full RTT,
+    and the old 4-pull version dominated closure-heavy replay.
+
+    Compaction rationale (uniform-stride subsample on overflow): every
+    device program scales with CAPACITY and >32k/64k points gain nothing
+    for a 6-DoF constraint; the information matrix is rescaled by the
+    full/compacted valid-count ratio so edge weights keep the reference's
+    full-cloud magnitudes (``GetInformationMatrixFromPointClouds`` sums
+    over ALL source correspondences)."""
+    from open3d_slam_tpu.utils import pointcloud as pclib
+
+    @jax.jit
+    def fn(source: PointCloud, target: PointCloud):
+        if is_compute_overlap:
+            src_m, tgt_m = overlap_ops.overlapping_masks(
+                source, target, jnp.eye(4), voxel_size_overlap)
+            source = _masked(source, src_m)     # noqa: F823
+            target = _masked(target, tgt_m)
+        n_src_full = source.count().astype(jnp.float32)
+        source = pclib.compact_to(source, src_compact_cap)
+        target = pclib.compact_to(target, tgt_compact_cap)
+        info_scale = jnp.maximum(
+            1.0, n_src_full / jnp.clip(source.count().astype(jnp.float32),
+                                       1.0, None))
+
+        T_icp = jnp.eye(4)
+        if not is_skip_icp_refinement:
+            grid = hashgrid.build(target, cell_size=icp_max_corr_distance)
+            res = reg_ops.icp_point_to_plane(
+                source, grid, jnp.eye(4), icp_max_corr_distance,
+                max_iterations=ICP_RUN_UNTIL_CONVERGENCE_ITERS)
+            T_icp = res.transformation
+
+        info = jnp.eye(6)
+        if is_estimate_information_matrix:
+            grid = hashgrid.build(target, cell_size=icp_max_corr_distance)
+            pts = se3.transform_points(T_icp, source.points)
+            idx, d2, found = hashgrid.query_nearest(grid, pts,
+                                                    icp_max_corr_distance)
+            q = grid.points_sorted[idx]
+            info = info_scale * pg_ops.information_matrix_from_correspondences(
+                q, found & source.mask)
+        return T_icp, info
+
+    return fn
+
+
 def build_constraint(source_idx: int, target_idx: int, submaps,
                      is_compute_overlap: bool,
                      icp_max_corr_distance: float,
@@ -58,49 +120,19 @@ def build_constraint(source_idx: int, target_idx: int, submaps,
     """``buildConstraint`` (``constraint_builders.cpp:43-90``)."""
     source = submaps.get_submap(source_idx).map_cloud
     target = submaps.get_submap(target_idx).map_cloud
-
-    if is_compute_overlap:
-        src_m, tgt_m = overlap_ops.overlapping_masks(
-            source, target, jnp.eye(4), voxel_size_overlap)
-        source = _masked(source, src_m)
-        target = _masked(target, tgt_m)
-
-    # Compact the working clouds out of the full submap capacity: every
-    # device program below scales with CAPACITY, and >32k/64k points gain
-    # nothing for a 6-DoF constraint.  Uniform-stride subsample on
-    # overflow; the information matrix is rescaled to keep the reference's
-    # full-cloud magnitudes (GetInformationMatrixFromPointClouds sums over
-    # ALL source correspondences).
-    from open3d_slam_tpu.utils import pointcloud as pclib
-    n_src_full = int(source.count())
-    source = pclib.compact_to(source, min(source.capacity, 32768))
-    target = pclib.compact_to(target, min(target.capacity, 65536))
-    info_scale = max(1.0, n_src_full / max(1, int(source.count())))
-
-    T_icp = jnp.eye(4)
-    if not is_skip_icp_refinement:
-        grid = hashgrid.build(target, cell_size=icp_max_corr_distance)
-        res = reg_ops.icp_point_to_plane(
-            source, grid, jnp.eye(4), icp_max_corr_distance,
-            max_iterations=ICP_RUN_UNTIL_CONVERGENCE_ITERS)
-        T_icp = res.transformation
-
-    info = np.eye(6)
-    if is_estimate_information_matrix:
-        # Correspondences of transformed source within icp distance.
-        grid = hashgrid.build(target, cell_size=icp_max_corr_distance)
-        pts = se3.transform_points(T_icp, source.points)
-        idx, d2, found = hashgrid.query_nearest(grid, pts, icp_max_corr_distance)
-        q = grid.points_sorted[idx]
-        info = info_scale * np.asarray(
-            pg_ops.information_matrix_from_correspondences(
-                q, found & source.mask), np.float64)
+    fn = _build_constraint_fn(
+        bool(is_compute_overlap), float(icp_max_corr_distance),
+        float(voxel_size_overlap), bool(is_estimate_information_matrix),
+        bool(is_skip_icp_refinement),
+        min(source.capacity, 32768), min(target.capacity, 65536))
+    T_icp, info = jax.device_get(fn(source, target))
 
     return Constraint(
         source_submap_idx=source_idx,
         target_submap_idx=target_idx,
         source_to_target=np.asarray(T_icp, np.float64),
-        information_matrix=info,
+        information_matrix=(np.asarray(info, np.float64)
+                            if is_estimate_information_matrix else np.eye(6)),
         is_odometry_constraint=True,
         is_information_matrix_valid=is_estimate_information_matrix,
     )

@@ -141,12 +141,16 @@ class PlaceRecognition:
                 distance_threshold=p.correspondence_checker_distance,
                 num_hypotheses=self.num_ransac_hypotheses,
                 mutual_filter=True, key=sub)
-            n_inliers = int(ransac_res.num_inliers)
+            # ONE pull for the RANSAC gate scalars (every extra blocking
+            # pull costs a tunnel RTT).
+            n_inliers_a, T_ransac = jax.device_get(
+                (ransac_res.num_inliers, ransac_res.transformation))
+            n_inliers = int(n_inliers_a)
             if n_inliers < p.ransac_min_correspondence_set_size:
                 print(f"REJECTED loop closure, {n_inliers} correspondences, "
                       f"submap {last_finished_idx} with {i}")
                 continue
-            T_ransac = np.asarray(ransac_res.transformation, np.float64)
+            T_ransac = np.asarray(T_ransac, np.float64)
             if not self.is_registration_consistent(T_ransac):
                 print(f"REJECTED loop closure, ransac inconsistent, "
                       f"submap {last_finished_idx} with {i}")
@@ -178,12 +182,14 @@ class PlaceRecognition:
             grid = prepared.grid
             icp_res = self.registration.register(
                 source_overlap, prepared, jnp.asarray(T_ransac, jnp.float32))
-            fitness = float(icp_res.fitness)
+            fitness_a, T_icp = jax.device_get(
+                (icp_res.fitness, icp_res.transformation))
+            fitness = float(fitness_a)
             if fitness < p.min_refinement_fitness:
                 print(f"REJECTED loop closure, refinement score {fitness:.3f}, "
                       f"submap {last_finished_idx} with {i}")
                 continue
-            T_icp = np.asarray(icp_res.transformation, np.float64)
+            T_icp = np.asarray(T_icp, np.float64)
             if not self.is_registration_consistent(T_icp):
                 print(f"REJECTED loop closure, icp inconsistent, "
                       f"submap {last_finished_idx} with {i}")

@@ -224,6 +224,7 @@ class SlamWrapper:
         if finished:
             with self.telemetry.timer("submap_features"):
                 self.submaps.compute_features(finished)
+            with self.telemetry.timer("odometry_constraints"):
                 compute_odometry_constraints(
                     self.submaps, self.odometry_constraints, candidates=finished)
 

@@ -56,6 +56,7 @@ class Submap:
         self.feature_cloud: Optional[PointCloud] = None
         self.fpfh: Optional[jnp.ndarray] = None
         self._feature_time: Optional[float] = None
+        self._pending_feat_count = None   # prefetched saturation check
         self.creation_time: Optional[float] = None
 
     # ------------------------------------------------------------------
@@ -181,6 +182,17 @@ class Submap:
 
     # ------------------------------------------------------------------
 
+    def _check_pending_feature_saturation(self):
+        if self._pending_feat_count is None:
+            return
+        n_feat = int(self._pending_feat_count)   # prefetched: ~free
+        self._pending_feat_count = None
+        if n_feat >= self.feature_capacity:
+            print(f"WARNING: submap {self.id} feature cloud saturated at "
+                  f"{self.feature_capacity} voxels — raise "
+                  f"CapacityParameters.feature_cloud or place-recognition "
+                  f"quality degrades (uniform-stride subsample in effect)")
+
     def compute_features(self, force: bool = False):
         """0.5 m-voxel sparse cloud + FPFH (``computeFeatures``,
         ``Submap.cpp:228-248``), rate-limited like the reference."""
@@ -192,12 +204,15 @@ class Submap:
             return
         sparse = voxel.voxel_downsample(self.map_cloud, p.feature_voxel_size,
                                         out_capacity=self.feature_capacity)
-        n_feat = int(sparse.count())
-        if n_feat >= self.feature_capacity:
-            print(f"WARNING: submap {self.id} feature cloud saturated at "
-                  f"{self.feature_capacity} voxels — raise "
-                  f"CapacityParameters.feature_cloud or place-recognition "
-                  f"quality degrades (uniform-stride subsample in effect)")
+        # Saturation check WITHOUT a blocking pull on the critical path: the
+        # count rides a prefetched async copy and is inspected lazily at the
+        # next feature event (a warning can afford one event of latency; a
+        # blocking int() here costs a full tunnel RTT per finished submap).
+        self._check_pending_feature_saturation()
+        n_feat_dev = sparse.count()
+        from open3d_slam_tpu.utils.device import prefetch_to_host
+        prefetch_to_host(n_feat_dev)
+        self._pending_feat_count = n_feat_dev
         sparse = normals_ops.estimate_normals(
             sparse, radius=p.normal_estimation_radius, max_nn=p.normal_knn,
             orientation_reference=jnp.zeros((3,), jnp.float32))
