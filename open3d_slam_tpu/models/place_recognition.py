@@ -55,6 +55,49 @@ class PlaceRecognition:
                 params.place_recognition.max_icp_correspondence_distance))
         self.registration = CloudRegistrationStrategy(
             params.scan_matcher.scan_to_map_reg_type, icp)
+        self._refine_fn = None   # lazily-built fused refine program
+
+    def _build_refine_fn(self):
+        """ONE jitted program for the loop-closure refinement: overlap ->
+        compact -> prepare target -> register -> correspondences -> scaled
+        information matrix, with a single (fitness, T, info, scale) pull —
+        the old eager chain paid 6+ blocking tunnel RTTs per candidate
+        pair.  The information matrix is computed speculatively (before the
+        host fitness/consistency gates — ~30 ms of device work vs an extra
+        round-trip when the gates pass)."""
+        from open3d_slam_tpu.utils import pointcloud as pclib
+        p = self.params.place_recognition
+        vox = get_map_voxel_size(self.params.map_builder.map_voxel_size)
+
+        @jax.jit
+        def fn(source_full: PointCloud, target_full: PointCloud, T_ransac):
+            src_m, tgt_m = overlap_ops.overlapping_masks(
+                source_full, target_full, T_ransac,
+                VOXEL_EXPANSION_OVERLAP * vox)
+            src_masked = source_full.with_(mask=source_full.mask & src_m)
+            n_src_full = src_masked.count().astype(jnp.float32)
+            source_overlap = pclib.compact_to(
+                src_masked, min(source_full.capacity, 32768))
+            target_overlap = pclib.compact_to(
+                target_full.with_(mask=target_full.mask & tgt_m),
+                min(target_full.capacity, 65536))
+            info_scale = jnp.maximum(
+                1.0, n_src_full /
+                jnp.clip(source_overlap.count().astype(jnp.float32), 1.0,
+                         None))
+            prepared = self.registration.prepare_target(target_overlap)
+            icp_res = self.registration.register(source_overlap, prepared,
+                                                 T_ransac)
+            pts = se3.transform_points(icp_res.transformation,
+                                       source_overlap.points)
+            idx, d2, found = hashgrid.query_nearest(
+                prepared.grid, pts, p.max_icp_correspondence_distance)
+            q = prepared.grid.points_sorted[idx]
+            info = info_scale * pg_ops.information_matrix_from_correspondences(
+                q, found & source_overlap.mask)
+            return icp_res.fitness, icp_res.transformation, info
+
+        return fn
 
     # ------------------------------------------------------------------
 
@@ -157,53 +200,21 @@ class PlaceRecognition:
                 continue
 
             target_full = target_submap.map_cloud
-            vox = get_map_voxel_size(self.params.map_builder.map_voxel_size)
-            src_m, tgt_m = overlap_ops.overlapping_masks(
-                source_full, target_full, jnp.asarray(T_ransac, jnp.float32),
-                VOXEL_EXPANSION_OVERLAP * vox)
-            # Compact the overlap clouds out of the full submap capacity:
-            # the refinement kernel cost scales with CAPACITY, not point
-            # count, and a >32k/64k overlap gains nothing for a 6-DoF
-            # estimate (uniform-stride subsample on overflow; the
-            # information matrix is rescaled below so edge weights keep
-            # the reference's full-cloud magnitudes).
-            from open3d_slam_tpu.utils import pointcloud as pclib
-            src_masked = source_full.with_(mask=source_full.mask & src_m)
-            n_src_full = int(src_masked.count())
-            source_overlap = pclib.compact_to(
-                src_masked, min(source_full.capacity, 32768))
-            target_overlap = pclib.compact_to(
-                target_full.with_(mask=target_full.mask & tgt_m),
-                min(target_full.capacity, 65536))
-            info_scale = max(1.0, n_src_full /
-                             max(1, int(source_overlap.count())))
-
-            prepared = self.registration.prepare_target(target_overlap)
-            grid = prepared.grid
-            icp_res = self.registration.register(
-                source_overlap, prepared, jnp.asarray(T_ransac, jnp.float32))
-            fitness_a, T_icp = jax.device_get(
-                (icp_res.fitness, icp_res.transformation))
+            if self._refine_fn is None:
+                self._refine_fn = self._build_refine_fn()
+            fitness_a, T_icp_a, info_a = jax.device_get(self._refine_fn(
+                source_full, target_full, jnp.asarray(T_ransac, jnp.float32)))
             fitness = float(fitness_a)
             if fitness < p.min_refinement_fitness:
                 print(f"REJECTED loop closure, refinement score {fitness:.3f}, "
                       f"submap {last_finished_idx} with {i}")
                 continue
-            T_icp = np.asarray(T_icp, np.float64)
+            T_icp = np.asarray(T_icp_a, np.float64)
             if not self.is_registration_consistent(T_icp):
                 print(f"REJECTED loop closure, icp inconsistent, "
                       f"submap {last_finished_idx} with {i}")
                 continue
-
-            # Information matrix from aligned overlap correspondences.
-            pts = se3.transform_points(jnp.asarray(T_icp, jnp.float32),
-                                       source_overlap.points)
-            idx, d2, found = hashgrid.query_nearest(
-                grid, pts, p.max_icp_correspondence_distance)
-            q = grid.points_sorted[idx]
-            info = info_scale * np.asarray(
-                pg_ops.information_matrix_from_correspondences(
-                    q, found & source_overlap.mask), np.float64)
+            info = np.asarray(info_a, np.float64)
 
             constraints.append(Constraint(
                 source_submap_idx=last_finished_idx,
