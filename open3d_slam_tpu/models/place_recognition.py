@@ -56,6 +56,35 @@ class PlaceRecognition:
         self.registration = CloudRegistrationStrategy(
             params.scan_matcher.scan_to_map_reg_type, icp)
         self._refine_fn = None   # lazily-built fused refine program
+        self._ransac_batched = {}   # K_padded -> jitted batched RANSAC
+
+    def _ransac_batched_fn(self, k_padded: int):
+        """ONE jitted program RANSAC-matching the finished submap against
+        ``k_padded`` candidate submaps (``lax.map`` over the stacked
+        feature clouds) — one dispatch + one pull for the whole candidate
+        set instead of a blocking round-trip per pair.  K is padded to a
+        power of two (all-false masks -> 0 inliers -> host-rejected) so
+        candidate-count changes never retrigger compilation."""
+        if k_padded in self._ransac_batched:
+            return self._ransac_batched[k_padded]
+        p = self.params.place_recognition
+        nh = self.num_ransac_hypotheses
+
+        @jax.jit
+        def fn(src_sparse: PointCloud, src_feat, tgt_clouds: PointCloud,
+               tgt_feats, keys):
+            def one(args):
+                tgt_pc, tgt_f, key = args
+                return ransac.ransac_feature_registration(
+                    src_sparse, src_feat, tgt_pc, tgt_f,
+                    max_correspondence_distance=p.ransac_max_correspondence_distance,
+                    edge_length_similarity=p.correspondence_checker_edge_length,
+                    distance_threshold=p.correspondence_checker_distance,
+                    num_hypotheses=nh, mutual_filter=True, key=key)
+            return jax.lax.map(one, (tgt_clouds, tgt_feats, keys))
+
+        self._ransac_batched[k_padded] = fn
+        return fn
 
     def _build_refine_fn(self):
         """ONE jitted program for the loop-closure refinement: overlap ->
@@ -171,29 +200,35 @@ class PlaceRecognition:
         src_feat = source_submap.fpfh
         source_full = source_submap.map_cloud
 
-        for i in candidates:
-            target_submap = submaps.get_submap(i)
-            if target_submap.fpfh is None:
-                continue
-            self._key, sub = jax.random.split(self._key)
-            ransac_res = ransac.ransac_feature_registration(
-                src_sparse, src_feat,
-                target_submap.feature_cloud, target_submap.fpfh,
-                max_correspondence_distance=p.ransac_max_correspondence_distance,
-                edge_length_similarity=p.correspondence_checker_edge_length,
-                distance_threshold=p.correspondence_checker_distance,
-                num_hypotheses=self.num_ransac_hypotheses,
-                mutual_filter=True, key=sub)
-            # ONE pull for the RANSAC gate scalars (every extra blocking
-            # pull costs a tunnel RTT).
-            n_inliers_a, T_ransac = jax.device_get(
-                (ransac_res.num_inliers, ransac_res.transformation))
-            n_inliers = int(n_inliers_a)
+        cands = [(i, submaps.get_submap(i)) for i in candidates
+                 if submaps.get_submap(i).fpfh is not None]
+        if not cands:
+            return constraints
+        # Batched RANSAC over ALL candidate pairs in one dispatch + pull.
+        k = len(cands)
+        k_padded = 1 << (k - 1).bit_length()
+        clouds = [s.feature_cloud for _, s in cands]
+        feats = [s.fpfh for _, s in cands]
+        pad_cloud = clouds[0].with_(mask=jnp.zeros_like(clouds[0].mask))
+        clouds = clouds + [pad_cloud] * (k_padded - k)
+        feats = feats + [feats[0]] * (k_padded - k)
+        stacked_clouds = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *clouds)
+        stacked_feats = jnp.stack(feats)
+        self._key, sub = jax.random.split(self._key)
+        keys = jax.random.split(sub, k_padded)
+        res = self._ransac_batched_fn(k_padded)(
+            src_sparse, src_feat, stacked_clouds, stacked_feats, keys)
+        n_inliers_all, T_ransac_all = jax.device_get(
+            (res.num_inliers, res.transformation))
+
+        for pair_idx, (i, target_submap) in enumerate(cands):
+            n_inliers = int(n_inliers_all[pair_idx])
             if n_inliers < p.ransac_min_correspondence_set_size:
                 print(f"REJECTED loop closure, {n_inliers} correspondences, "
                       f"submap {last_finished_idx} with {i}")
                 continue
-            T_ransac = np.asarray(T_ransac, np.float64)
+            T_ransac = np.asarray(T_ransac_all[pair_idx], np.float64)
             if not self.is_registration_consistent(T_ransac):
                 print(f"REJECTED loop closure, ransac inconsistent, "
                       f"submap {last_finished_idx} with {i}")
