@@ -178,33 +178,32 @@ class PlaceRecognition:
         return out
 
     # ------------------------------------------------------------------
+    # Resumable loop-closure job: the reference runs detection in a worker
+    # thread concurrent with scan processing (``loopClosureWorker``,
+    # ``SlamWrapper.cpp:406-448``); on one chip the equivalent is
+    # dispatching each phase's device work, prefetching its outputs, and
+    # pulling them a scan later — the replay loop never host-blocks on a
+    # multi-hundred-ms closure program.
 
-    def build_loop_closure_constraints(self, map_to_range_sensor: np.ndarray,
-                                       submaps, adjacency: AdjacencyMatrix,
-                                       last_finished_idx: int, active_idx: int,
-                                       timestamp: float) -> List[Constraint]:
-        """(``PlaceRecognition.cpp:50-176``)."""
-        p = self.params.place_recognition
-        constraints: List[Constraint] = []
+    def start_loop_closure_job(self, map_to_range_sensor: np.ndarray,
+                               submaps, adjacency: AdjacencyMatrix,
+                               last_finished_idx: int, active_idx: int,
+                               timestamp: float):
+        """Candidate gating + batched RANSAC DISPATCH (one program for all
+        candidate pairs, outputs prefetched).  Returns a job for
+        ``advance_loop_closure_job``, or None when there is nothing to do."""
+        from open3d_slam_tpu.utils.device import prefetch_to_host
         source_submap = submaps.get_submap(last_finished_idx)
         if source_submap.fpfh is None:
-            return constraints
+            return None
         candidates = self.get_loop_closure_candidates_idxs(
             map_to_range_sensor, submaps, adjacency, last_finished_idx, active_idx)
         print(f"considering submap {last_finished_idx} for loop closure, "
               f"num candidate submaps: {len(candidates)}")   # :61-62
-        if not candidates:
-            return constraints
-
-        src_sparse = source_submap.feature_cloud
-        src_feat = source_submap.fpfh
-        source_full = source_submap.map_cloud
-
         cands = [(i, submaps.get_submap(i)) for i in candidates
                  if submaps.get_submap(i).fpfh is not None]
         if not cands:
-            return constraints
-        # Batched RANSAC over ALL candidate pairs in one dispatch + pull.
+            return None
         k = len(cands)
         k_padded = 1 << (k - 1).bit_length()
         clouds = [s.feature_cloud for _, s in cands]
@@ -218,49 +217,92 @@ class PlaceRecognition:
         self._key, sub = jax.random.split(self._key)
         keys = jax.random.split(sub, k_padded)
         res = self._ransac_batched_fn(k_padded)(
-            src_sparse, src_feat, stacked_clouds, stacked_feats, keys)
-        n_inliers_all, T_ransac_all = jax.device_get(
-            (res.num_inliers, res.transformation))
+            source_submap.feature_cloud, source_submap.fpfh,
+            stacked_clouds, stacked_feats, keys)
+        prefetch_to_host(res.num_inliers, res.transformation)
+        return _LoopClosureJob(last_finished_idx, timestamp, cands, res,
+                               source_submap.map_cloud)
 
-        for pair_idx, (i, target_submap) in enumerate(cands):
-            n_inliers = int(n_inliers_all[pair_idx])
-            if n_inliers < p.ransac_min_correspondence_set_size:
-                print(f"REJECTED loop closure, {n_inliers} correspondences, "
-                      f"submap {last_finished_idx} with {i}")
-                continue
-            T_ransac = np.asarray(T_ransac_all[pair_idx], np.float64)
-            if not self.is_registration_consistent(T_ransac):
-                print(f"REJECTED loop closure, ransac inconsistent, "
-                      f"submap {last_finished_idx} with {i}")
-                continue
-
-            target_full = target_submap.map_cloud
+    def advance_loop_closure_job(self, job) -> bool:
+        """Advance one phase; True when the job is complete (then read
+        ``job.constraints``)."""
+        from open3d_slam_tpu.utils.device import prefetch_to_host
+        p = self.params.place_recognition
+        if job.phase == "ransac":
+            n_inliers_all, T_ransac_all = jax.device_get(
+                (job.ransac_res.num_inliers, job.ransac_res.transformation))
             if self._refine_fn is None:
                 self._refine_fn = self._build_refine_fn()
-            fitness_a, T_icp_a, info_a = jax.device_get(self._refine_fn(
-                source_full, target_full, jnp.asarray(T_ransac, jnp.float32)))
+            for pair_idx, (i, target_submap) in enumerate(job.cands):
+                n_inliers = int(n_inliers_all[pair_idx])
+                if n_inliers < p.ransac_min_correspondence_set_size:
+                    print(f"REJECTED loop closure, {n_inliers} correspondences, "
+                          f"submap {job.source_idx} with {i}")
+                    continue
+                T_ransac = np.asarray(T_ransac_all[pair_idx], np.float64)
+                if not self.is_registration_consistent(T_ransac):
+                    print(f"REJECTED loop closure, ransac inconsistent, "
+                          f"submap {job.source_idx} with {i}")
+                    continue
+                out = self._refine_fn(job.source_cloud, target_submap.map_cloud,
+                                      jnp.asarray(T_ransac, jnp.float32))
+                prefetch_to_host(*out)
+                job.refines.append((i, out))
+            job.phase = "refine"
+            return not job.refines
+        assert job.phase == "refine"
+        pulled = jax.device_get([out for _, out in job.refines])
+        for (i, _), (fitness_a, T_icp_a, info_a) in zip(job.refines, pulled):
             fitness = float(fitness_a)
             if fitness < p.min_refinement_fitness:
                 print(f"REJECTED loop closure, refinement score {fitness:.3f}, "
-                      f"submap {last_finished_idx} with {i}")
+                      f"submap {job.source_idx} with {i}")
                 continue
             T_icp = np.asarray(T_icp_a, np.float64)
             if not self.is_registration_consistent(T_icp):
                 print(f"REJECTED loop closure, icp inconsistent, "
-                      f"submap {last_finished_idx} with {i}")
+                      f"submap {job.source_idx} with {i}")
                 continue
-            info = np.asarray(info_a, np.float64)
-
-            constraints.append(Constraint(
-                source_submap_idx=last_finished_idx,
+            job.constraints.append(Constraint(
+                source_submap_idx=job.source_idx,
                 target_submap_idx=i,
                 source_to_target=T_icp,
-                information_matrix=info,
+                information_matrix=np.asarray(info_a, np.float64),
                 is_odometry_constraint=False,
                 is_information_matrix_valid=True,
-                timestamp=timestamp,
+                timestamp=job.timestamp,
             ))
             self.recognition_counter += 1
-            print(f"ACCEPTED loop closure: submap {last_finished_idx} with {i}, "
+            print(f"ACCEPTED loop closure: submap {job.source_idx} with {i}, "
                   f"fitness {fitness:.3f}")
-        return constraints
+        return True
+
+    def build_loop_closure_constraints(self, map_to_range_sensor: np.ndarray,
+                                       submaps, adjacency: AdjacencyMatrix,
+                                       last_finished_idx: int, active_idx: int,
+                                       timestamp: float) -> List[Constraint]:
+        """(``PlaceRecognition.cpp:50-176``), blocking form: start + run the
+        job to completion."""
+        job = self.start_loop_closure_job(
+            map_to_range_sensor, submaps, adjacency, last_finished_idx,
+            active_idx, timestamp)
+        if job is None:
+            return []
+        while not self.advance_loop_closure_job(job):
+            pass
+        return job.constraints
+
+
+class _LoopClosureJob:
+    __slots__ = ("phase", "source_idx", "timestamp", "cands", "ransac_res",
+                 "source_cloud", "refines", "constraints")
+
+    def __init__(self, source_idx, timestamp, cands, ransac_res, source_cloud):
+        self.phase = "ransac"
+        self.source_idx = source_idx
+        self.timestamp = timestamp
+        self.cands = cands
+        self.ransac_res = ransac_res
+        self.source_cloud = source_cloud
+        self.refines = []          # [(target_idx, device outputs)]
+        self.constraints: List[Constraint] = []

@@ -89,6 +89,7 @@ class SlamWrapper:
         self._raw_capacity = cap.raw_scan
         # in-flight pipelined mapping step: (MapperPending, measurement, cloud)
         self._map_pending = None
+        self._lc_job = None          # in-flight loop-closure job
 
     # ------------------------------------------------------------------
     # Ingest (SlamWrapper::addRangeScan, :102-115)
@@ -232,22 +233,49 @@ class SlamWrapper:
         cands = self.submaps.pop_loop_closure_candidates()
         if cands:
             self.loop_closure_candidates.extend(cands)
-            self._loop_closure_step()
+        self._advance_loop_closures()
 
-    def _loop_closure_step(self):
-        """loopClosureWorker body (:406-448)."""
-        if not self.loop_closure_candidates or self.is_optimized_graph_available:
-            return
-        cands, self.loop_closure_candidates = self.loop_closure_candidates, []
-        with self.telemetry.timer("loop_closure"):
-            constraints: List[Constraint] = []
-            for tid in cands:
-                cs = self.place_recognition.build_loop_closure_constraints(
-                    self.submaps.map_to_range_sensor, self.submaps,
-                    self.submaps.adjacency, tid.submap_id,
-                    self.submaps.active_submap_idx, tid.time)
-                constraints.extend(cs)
-            self.num_latest_loop_closure_constraints = len(constraints)
+    def _advance_loop_closures(self, drain: bool = False):
+        """loopClosureWorker (:406-448) as a resumable state machine.
+
+        The reference's closure detection runs in a worker thread
+        concurrent with scan processing; here each call advances the
+        in-flight job by ONE phase (batched-RANSAC dispatch -> gate +
+        refine dispatch -> gate + constraints), with every phase's device
+        outputs prefetched so the pull a scan later is ~free.  The replay
+        loop therefore never host-blocks on closure device work.  With
+        ``drain`` (finishProcessing / sequential mode) the machine runs to
+        completion.
+        """
+        while True:
+            if self._lc_job is None:
+                if (not self.loop_closure_candidates or
+                        self.is_optimized_graph_available):
+                    return
+                tid = self.loop_closure_candidates.pop(0)
+                with self.telemetry.timer("loop_closure"):
+                    self._lc_job = self.place_recognition.start_loop_closure_job(
+                        self.submaps.map_to_range_sensor, self.submaps,
+                        self.submaps.adjacency, tid.submap_id,
+                        self.submaps.active_submap_idx, tid.time)
+                if self._lc_job is None:
+                    self.num_latest_loop_closure_constraints = 0
+                    continue        # nothing to match; try next candidate
+                if not drain:
+                    return
+            with self.telemetry.timer("loop_closure"):
+                done = self.place_recognition.advance_loop_closure_job(
+                    self._lc_job)
+            if done:
+                job, self._lc_job = self._lc_job, None
+                self._finish_loop_closure(job.constraints)
+            if not drain:
+                return
+
+    def _finish_loop_closure(self, constraints: List[Constraint]):
+        """Post-detection half of loopClosureWorker (:427-448): odometry
+        constraints + pose-graph build/solve."""
+        self.num_latest_loop_closure_constraints = len(constraints)
         if not constraints:
             return
         self.n_loop_closures_accepted += len(constraints)
@@ -376,7 +404,10 @@ class SlamWrapper:
         self.submaps.force_new_submap_creation()
         if self.params.mapper.is_attempt_loop_closures:
             self.compute_features_if_ready()
-            self.attempt_loop_closures_if_ready()
+            cands = self.submaps.pop_loop_closure_candidates()
+            if cands:
+                self.loop_closure_candidates.extend(cands)
+            self._advance_loop_closures(drain=True)
             self.check_if_optimized_graph_available()
         self.telemetry.maybe_print(force=True)
         print("All submaps finished!")
