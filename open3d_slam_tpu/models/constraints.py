@@ -111,13 +111,30 @@ def _build_constraint_fn(is_compute_overlap: bool,
     return fn
 
 
+def finalize_constraint(c: Constraint, outputs) -> Constraint:
+    """Fill a dispatched constraint's (T, info) from its device outputs
+    (already host-side when prefetched)."""
+    T_icp, info = jax.device_get(outputs)
+    c.source_to_target = np.asarray(T_icp, np.float64)
+    if c.is_information_matrix_valid:
+        c.information_matrix = np.asarray(info, np.float64)
+    return c
+
+
 def build_constraint(source_idx: int, target_idx: int, submaps,
                      is_compute_overlap: bool,
                      icp_max_corr_distance: float,
                      voxel_size_overlap: float,
                      is_estimate_information_matrix: bool,
-                     is_skip_icp_refinement: bool) -> Constraint:
-    """``buildConstraint`` (``constraint_builders.cpp:43-90``)."""
+                     is_skip_icp_refinement: bool,
+                     pending_out: Optional[list] = None) -> Constraint:
+    """``buildConstraint`` (``constraint_builders.cpp:43-90``).
+
+    With ``pending_out`` the device program is dispatched and its outputs
+    prefetched but NOT pulled: ``(constraint, outputs)`` is appended for a
+    later ``finalize_constraint`` (constraints are only read when an
+    optimization round consumes them, scans later — no reason to
+    host-block the replay loop now)."""
     source = submaps.get_submap(source_idx).map_cloud
     target = submaps.get_submap(target_idx).map_cloud
     fn = _build_constraint_fn(
@@ -125,20 +142,26 @@ def build_constraint(source_idx: int, target_idx: int, submaps,
         float(voxel_size_overlap), bool(is_estimate_information_matrix),
         bool(is_skip_icp_refinement),
         min(source.capacity, 32768), min(target.capacity, 65536))
-    T_icp, info = jax.device_get(fn(source, target))
+    outputs = fn(source, target)
 
-    return Constraint(
+    c = Constraint(
         source_submap_idx=source_idx,
         target_submap_idx=target_idx,
-        source_to_target=np.asarray(T_icp, np.float64),
-        information_matrix=(np.asarray(info, np.float64)
-                            if is_estimate_information_matrix else np.eye(6)),
+        source_to_target=np.eye(4),
+        information_matrix=np.eye(6),
         is_odometry_constraint=True,
         is_information_matrix_valid=is_estimate_information_matrix,
     )
+    if pending_out is not None:
+        from open3d_slam_tpu.utils.device import prefetch_to_host
+        prefetch_to_host(*outputs)
+        pending_out.append((c, outputs))
+        return c
+    return finalize_constraint(c, outputs)
 
 
-def build_odometry_constraint(source_idx: int, target_idx: int, submaps) -> Constraint:
+def build_odometry_constraint(source_idx: int, target_idx: int, submaps,
+                              pending_out: Optional[list] = None) -> Constraint:
     """``buildOdometryConstraint`` (``constraint_builders.cpp:33-41``)."""
     p = submaps.params
     vox = get_map_voxel_size(p.map_builder.map_voxel_size)
@@ -148,7 +171,8 @@ def build_odometry_constraint(source_idx: int, target_idx: int, submaps) -> Cons
         icp_max_corr_distance=VOXEL_EXPANSION_ICP_CORR * vox,
         voxel_size_overlap=VOXEL_EXPANSION_OVERLAP * vox,
         is_estimate_information_matrix=True,
-        is_skip_icp_refinement=not p.is_refine_odometry_constraints_between_submaps)
+        is_skip_icp_refinement=not p.is_refine_odometry_constraints_between_submaps,
+        pending_out=pending_out)
     c.is_odometry_constraint = True
     return c
 
@@ -159,9 +183,12 @@ def _has_constraint(source_idx, target_idx, constraints: List[Constraint]) -> bo
 
 
 def compute_odometry_constraints(submaps, constraints: List[Constraint],
-                                 candidates=None):
+                                 candidates=None,
+                                 pending_out: Optional[list] = None):
     """Both overloads of ``computeOdometryConstraints``
-    (``constraint_builders.cpp:92-118``); appends in place."""
+    (``constraint_builders.cpp:92-118``); appends in place.  With
+    ``pending_out``, constraint programs are dispatched without pulling
+    (see ``build_constraint``)."""
     if candidates is not None:
         for cand in candidates:
             if cand.submap_id < 1:
@@ -169,11 +196,13 @@ def compute_odometry_constraints(submaps, constraints: List[Constraint],
             target = cand.submap_id
             source = submaps.get_submap(target).parent_id
             if not _has_constraint(source, target, constraints):
-                constraints.append(build_odometry_constraint(source, target, submaps))
+                constraints.append(build_odometry_constraint(
+                    source, target, submaps, pending_out=pending_out))
     else:
         active = submaps.get_active_submap().id
         for target in range(1, submaps.get_num_submaps()):
             source = submaps.get_submap(target).parent_id
             if (not _has_constraint(source, target, constraints)
                     and source != active and target != active):
-                constraints.append(build_odometry_constraint(source, target, submaps))
+                constraints.append(build_odometry_constraint(
+                    source, target, submaps, pending_out=pending_out))

@@ -90,6 +90,7 @@ class SlamWrapper:
         # in-flight pipelined mapping step: (MapperPending, measurement, cloud)
         self._map_pending = None
         self._lc_job = None          # in-flight loop-closure job
+        self._pending_constraint_pulls: List = []   # dispatched, unpulled
 
     # ------------------------------------------------------------------
     # Ingest (SlamWrapper::addRangeScan, :102-115)
@@ -226,8 +227,20 @@ class SlamWrapper:
             with self.telemetry.timer("submap_features"):
                 self.submaps.compute_features(finished)
             with self.telemetry.timer("odometry_constraints"):
+                # Dispatch-only: the (T, info) outputs ride prefetched
+                # transfers and are filled in when an optimization round
+                # actually reads the constraints.
                 compute_odometry_constraints(
-                    self.submaps, self.odometry_constraints, candidates=finished)
+                    self.submaps, self.odometry_constraints,
+                    candidates=finished,
+                    pending_out=self._pending_constraint_pulls)
+
+    def _flush_pending_constraints(self):
+        from open3d_slam_tpu.models.constraints import finalize_constraint
+        pend, self._pending_constraint_pulls = \
+            self._pending_constraint_pulls, []
+        for c, outputs in pend:
+            finalize_constraint(c, outputs)
 
     def attempt_loop_closures_if_ready(self):
         cands = self.submaps.pop_loop_closure_candidates()
@@ -280,6 +293,7 @@ class SlamWrapper:
             return
         self.n_loop_closures_accepted += len(constraints)
         with self.telemetry.timer("optimization"):
+            self._flush_pending_constraints()
             odom_constraints = list(self.odometry_constraints)
             compute_odometry_constraints(self.submaps, odom_constraints)
             self.optimization_problem.clear_odometry_constraints()
@@ -409,6 +423,7 @@ class SlamWrapper:
                 self.loop_closure_candidates.extend(cands)
             self._advance_loop_closures(drain=True)
             self.check_if_optimized_graph_available()
+        self._flush_pending_constraints()
         self.telemetry.maybe_print(force=True)
         print("All submaps finished!")
 
