@@ -205,7 +205,12 @@ class PlaceRecognition:
         if not cands:
             return None
         k = len(cands)
-        k_padded = 1 << (k - 1).bit_length()
+        # ONE fixed bucket for the common case: every distinct batch shape
+        # is a separate executable whose per-process first call pays
+        # seconds of compile-cache deserialization through the tunnel —
+        # padding 1..8 candidates to 8 costs ~40 ms/slot of device work
+        # and keeps exactly one program (pre-warmed by SlamWrapper.warmup).
+        k_padded = 8 if k <= 8 else 1 << (k - 1).bit_length()
         clouds = [s.feature_cloud for _, s in cands]
         feats = [s.fpfh for _, s in cands]
         pad_cloud = clouds[0].with_(mask=jnp.zeros_like(clouds[0].mask))

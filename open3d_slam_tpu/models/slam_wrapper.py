@@ -266,7 +266,7 @@ class SlamWrapper:
                         self.is_optimized_graph_available):
                     return
                 tid = self.loop_closure_candidates.pop(0)
-                with self.telemetry.timer("loop_closure"):
+                with self.telemetry.timer("lc_start"):
                     self._lc_job = self.place_recognition.start_loop_closure_job(
                         self.submaps.map_to_range_sensor, self.submaps,
                         self.submaps.adjacency, tid.submap_id,
@@ -276,7 +276,7 @@ class SlamWrapper:
                     continue        # nothing to match; try next candidate
                 if not drain:
                     return
-            with self.telemetry.timer("loop_closure"):
+            with self.telemetry.timer("lc_" + self._lc_job.phase):
                 done = self.place_recognition.advance_loop_closure_job(
                     self._lc_job)
             if done:
@@ -426,6 +426,87 @@ class SlamWrapper:
         self._flush_pending_constraints()
         self.telemetry.maybe_print(force=True)
         print("All submaps finished!")
+
+    # ------------------------------------------------------------------
+
+    def warmup(self):
+        """Compile/load the EPISODIC device programs before replay starts.
+
+        The per-scan programs warm naturally during the first scans, but
+        the per-finished-submap programs (features, constraint estimation,
+        batched RANSAC, closure refinement, pose-graph LM) first run
+        mid-mission — and on the tunneled backend a program's first call
+        per process pays seconds of compile-cache deserialization even
+        when fully cached.  Warming them up front (like the reference
+        loading its binary — it pays no JIT) makes the replay RTF measure
+        SLAM throughput, not XLA executable loading.
+        """
+        import jax
+        from open3d_slam_tpu.models import constraints as constraints_mod
+        from open3d_slam_tpu.ops import (fpfh as fpfh_ops,
+                                         normals as normals_ops,
+                                         pose_graph as pg_ops, voxel)
+        from open3d_slam_tpu.utils.pointcloud import PointCloud
+
+        p = self.params.mapper
+        cap = self.params.capacities
+        pr = p.place_recognition
+        rng = np.random.default_rng(0)
+
+        def cloud(n, with_normals=True):
+            pts = jnp.asarray(rng.uniform(-20, 20, (n, 3)), jnp.float32)
+            nrm = jnp.zeros((n, 3), jnp.float32).at[:, 2].set(1.0)
+            return PointCloud(points=pts, mask=jnp.ones((n,), bool),
+                              normals=nrm if with_normals else None)
+
+        # Feature chain at feature capacity.
+        map_c = cloud(cap.submap_points)
+        sparse = voxel.voxel_downsample(map_c, pr.feature_voxel_size,
+                                        out_capacity=cap.feature_cloud)
+        sparse = normals_ops.estimate_normals(
+            sparse, radius=pr.normal_estimation_radius, max_nn=pr.normal_knn,
+            orientation_reference=jnp.zeros((3,), jnp.float32))
+        feat = fpfh_ops.compute_fpfh(sparse, pr.feature_radius,
+                                     max_nn=min(pr.feature_knn, 64))
+        # Constraint estimation program.
+        vox = constraints_mod.get_map_voxel_size(p.map_builder.map_voxel_size)
+        cfn = constraints_mod._build_constraint_fn(
+            True, constraints_mod.VOXEL_EXPANSION_ICP_CORR * vox,
+            constraints_mod.VOXEL_EXPANSION_OVERLAP * vox, True,
+            not p.is_refine_odometry_constraints_between_submaps,
+            min(cap.submap_points, 32768), min(cap.submap_points, 65536))
+        out_c = cfn(map_c, map_c)
+        # Batched RANSAC (fixed k bucket) + closure refinement.
+        rfn = self.place_recognition._ransac_batched_fn(8)
+        stacked = jax.tree_util.tree_map(
+            lambda x: jnp.stack([x] * 8), sparse)
+        res_r = rfn(sparse, feat, stacked, jnp.stack([feat] * 8),
+                    jax.random.split(jax.random.PRNGKey(0), 8))
+        if self.place_recognition._refine_fn is None:
+            self.place_recognition._refine_fn = \
+                self.place_recognition._build_refine_fn()
+        out_ref = self.place_recognition._refine_fn(map_c, map_c, jnp.eye(4))
+        # Pose-graph LM at the deployed capacities.
+        n_cap, e_cap = (self.optimization_problem.max_nodes,
+                        self.optimization_problem.max_edges)
+        graph = pg_ops.PoseGraphData(
+            node_poses=jnp.tile(jnp.eye(4), (n_cap, 1, 1)),
+            node_mask=jnp.zeros((n_cap,), bool).at[:2].set(True),
+            edge_source=jnp.zeros((e_cap,), jnp.int32),
+            edge_target=jnp.ones((e_cap,), jnp.int32),
+            edge_transform=jnp.tile(jnp.eye(4), (e_cap, 1, 1)),
+            edge_information=jnp.tile(jnp.eye(6), (e_cap, 1, 1)),
+            edge_uncertain=jnp.zeros((e_cap,), bool),
+            edge_mask=jnp.zeros((e_cap,), bool).at[0].set(True))
+        gp = p.global_optimization
+        out_g = pg_ops.optimize(
+            graph, max_correspondence_distance=gp.max_correspondence_distance,
+            preference_loop_closure=gp.loop_closure_preference,
+            edge_prune_threshold=gp.edge_prune_threshold,
+            reference_node=gp.reference_node)
+        # One cheap sync flushes all warmup programs through the queue.
+        jax.device_get([jnp.ravel(a)[:1] for a in
+                        (res_r.transformation, out_c[0], out_ref[1], out_g[0])])
 
     # ------------------------------------------------------------------
     # Initialization / localization mode
