@@ -276,6 +276,8 @@ class SlamWrapper:
                     continue        # nothing to match; try next candidate
                 if not drain:
                     return
+            if not drain and not self._lc_outputs_ready(self._lc_job):
+                return          # device still crunching; try next scan
             with self.telemetry.timer("lc_" + self._lc_job.phase):
                 done = self.place_recognition.advance_loop_closure_job(
                     self._lc_job)
@@ -284,6 +286,18 @@ class SlamWrapper:
                 self._finish_loop_closure(job.constraints)
             if not drain:
                 return
+
+    @staticmethod
+    def _lc_outputs_ready(job) -> bool:
+        """True when the in-flight phase's device outputs have landed — a
+        phase advance then costs ~nothing.  Backends without is_ready()
+        report ready (the pull blocks as before)."""
+        try:
+            if job.phase == "ransac":
+                return job.ransac_res.num_inliers.is_ready()
+            return all(out[0].is_ready() for _, out in job.refines)
+        except AttributeError:
+            return True
 
     def _finish_loop_closure(self, constraints: List[Constraint]):
         """Post-detection half of loopClosureWorker (:427-448): odometry
