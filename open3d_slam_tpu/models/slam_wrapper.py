@@ -443,18 +443,32 @@ class SlamWrapper:
 
     # ------------------------------------------------------------------
 
-    def warmup(self):
-        """Compile/load the EPISODIC device programs before replay starts.
+    def warmup(self, scans=None, timestamps=None):
+        """Compile/load the device programs before replay starts.
 
-        The per-scan programs warm naturally during the first scans, but
-        the per-finished-submap programs (features, constraint estimation,
+        The per-finished-submap programs (features, constraint estimation,
         batched RANSAC, closure refinement, pose-graph LM) first run
         mid-mission — and on the tunneled backend a program's first call
         per process pays seconds of compile-cache deserialization even
         when fully cached.  Warming them up front (like the reference
         loading its binary — it pays no JIT) makes the replay RTF measure
         SLAM throughput, not XLA executable loading.
+
+        Pass a few ``scans`` (e.g. the 5 clouds the reference discards
+        anyway, ``magic::skipFirstNPointClouds``) to also warm the
+        per-scan programs by replaying them through a SCRATCH wrapper with
+        identical shapes — short sequences otherwise spend most of their
+        replay window loading executables.
         """
+        if scans:
+            scratch = SlamWrapper(self.params)
+            ts = (timestamps if timestamps is not None
+                  else [0.1 * i for i in range(len(scans))])
+            for s, t in zip(scans, ts):
+                scratch.process_scan_pipelined(np.asarray(s), float(t))
+            scratch._flush_map_pending()
+        if not self.params.mapper.is_attempt_loop_closures:
+            return
         import jax
         from open3d_slam_tpu.models import constraints as constraints_mod
         from open3d_slam_tpu.ops import (fpfh as fpfh_ops,
