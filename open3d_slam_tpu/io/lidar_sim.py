@@ -531,7 +531,8 @@ BENCHMARK_SEQUENCES = {
     "vlp16_yard_figure8": SimSequenceSpec(
         name="vlp16_yard_figure8", sensor="vlp16", world="yard",
         trajectory="figure8", n_scans=500, seed=2,
-        world_kwargs=dict(extent=75.0), traj_kwargs=dict(a=28.0),
+        world_kwargs=dict(extent=60.0, n_buildings=24, n_poles=60),
+        traj_kwargs=dict(a=28.0),
         param_file="velodyne_puck16.yaml"),
     # 75 m loop driven 2.3 times at ~3.1 m/s: lap 2 re-enters every lap-1
     # region, so each finished lap-2 submap is a loop-closure candidate
