@@ -76,3 +76,26 @@ def test_pipelined_loop_closure_sequence():
     h = slam.get_health()
     assert h["n_submaps"] >= 2
     assert all(np.isfinite(T).all() for T in poses)
+
+
+def test_warmup_is_stateless():
+    """SlamWrapper.warmup (episodic-program compile/load + scratch-wrapper
+    scan replay) must not perturb the real wrapper's state or results."""
+    seq = _seq(8)
+    p = small_params()
+    p.mapper.is_attempt_loop_closures = True
+    p.capacities.feature_cloud = 1024
+
+    ref = _run(seq, pipelined=True)
+
+    slam = SlamWrapper(p)
+    slam.warmup(scans=seq.scans[:3], timestamps=seq.timestamps[:3])
+    assert slam.submaps.get_num_submaps() <= 1
+    assert slam.mapper.last_measurement_timestamp is None
+    for scan, t in zip(seq.scans, seq.timestamps):
+        slam.process_scan_pipelined(scan, t)
+    slam.finish_processing()
+    _, p_ref = ref.get_trajectory()
+    _, p_new = slam.get_trajectory()
+    for a, b in zip(p_ref, p_new):
+        np.testing.assert_allclose(a, b, atol=1e-6)
