@@ -100,7 +100,7 @@ class TelemetryRegistry:
     """
 
     def __init__(self, print_every_sec: float = 15.0, enabled: bool = True,
-                 sample_every: int = 8):
+                 sample_every: int = 32):
         self.timers: Dict[str, Timer] = {}
         self.print_every_sec = print_every_sec
         self.enabled = enabled

@@ -23,11 +23,17 @@ def main():
     from open3d_slam_tpu.models.slam_wrapper import SlamWrapper
     from open3d_slam_tpu.utils import config as cfg
 
+    import sys
     n = 32
-    spec = lidar_sim.SimSequenceSpec(
-        name="drive", sensor="vlp16", world="yard", trajectory="circle",
-        n_scans=40, seed=11)
-    seq = lidar_sim.make_sim_sequence(spec)
+    if len(sys.argv) > 1 and sys.argv[1] in lidar_sim.BENCHMARK_SEQUENCES:
+        spec = lidar_sim.BENCHMARK_SEQUENCES[sys.argv[1]]
+        seq = lidar_sim.make_sim_sequence(spec)
+        seq.scans, seq.timestamps = seq.scans[:40], seq.timestamps[:40]
+    else:
+        spec = lidar_sim.SimSequenceSpec(
+            name="drive", sensor="vlp16", world="yard", trajectory="circle",
+            n_scans=40, seed=11)
+        seq = lidar_sim.make_sim_sequence(spec)
     params = cfg.load_parameters_from_file(cfg.config_path(spec.param_file))
     params.motion_compensation.is_undistort_input_cloud = True
 
