@@ -333,6 +333,7 @@ def main():
         "localize_success_rate": None, "localize_t_errs": None,
         "pipeline_p50_ms_per_scan": None, "pipeline_mean_ms_per_scan": None,
         "pipeline_rtf_vs_10hz": None,
+        "session_probe_ms": None,
         "skipped_stages": [],
         "device": None,
     }
@@ -358,6 +359,15 @@ def main():
     wd.start()
 
     out["device"] = str(jax.devices()[0])
+    # Session-quality context: the shared tunnel varies 4-100x between
+    # sessions; a recorded probe makes a congested-session result
+    # distinguishable from a regression (healthy ~60-70 ms).
+    from open3d_slam_tpu.utils.device import probe_session_ms
+    try:
+        out["session_probe_ms"] = round(probe_session_ms(), 1)
+        _log(f"[bench] session probe: {out['session_probe_ms']} ms")
+    except Exception as e:
+        _log(f"[bench] session probe failed: {e}")
 
     def stage(name, est_cold_sec, fn):
         """Run a stage if its historical cold cost fits the budget."""

@@ -15,6 +15,34 @@ should be prefetched at dispatch time.
 from __future__ import annotations
 
 
+def probe_session_ms(repeats: int = 3) -> float:
+    """Median wall time of a fixed matmul chain (~60-70 ms on a healthy
+    v5e session).  The shared tunnel's throughput varies 4-100x between
+    sessions and minute to minute; benchmarks record this number so a
+    congested-session result is distinguishable from a regression."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    M = jnp.ones((2048, 2048), jnp.float32)
+
+    @jax.jit
+    def heavy(x):
+        def body(_, a):
+            return a @ M * (1.0 / 2048.0)
+        return jax.lax.fori_loop(0, 60, body, x)[0, 0]
+
+    np.asarray(heavy(M))
+    ts = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        np.asarray(heavy(M))
+        ts.append((time.perf_counter() - t0) * 1e3)
+    return float(sorted(ts)[len(ts) // 2])
+
+
 def prefetch_to_host(*arrays) -> None:
     """Start a non-blocking D2H copy of each array (best effort)."""
     for a in arrays:

@@ -22,27 +22,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def probe_session_ms() -> float:
-    """Median wall time of a reference matmul chain (~63 ms on a healthy
-    v5e session; the shared tunnel degrades ~4x under contention).  Used
-    to avoid recording replay RTFs from a congested session."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-    M = jnp.ones((2048, 2048), jnp.float32)
-
-    @jax.jit
-    def heavy(x):
-        def body(_, a):
-            return a @ M * (1.0 / 2048.0)
-        return jax.lax.fori_loop(0, 60, body, x)[0, 0]
-
-    np.asarray(heavy(M))
-    ts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        np.asarray(heavy(M))
-        ts.append((time.perf_counter() - t0) * 1e3)
-    return sorted(ts)[1]
+    """Session-quality probe (see utils.device.probe_session_ms)."""
+    sys.path.insert(0, REPO)
+    from open3d_slam_tpu.utils.device import probe_session_ms as probe
+    return probe()
 
 
 def wait_for_healthy_session(threshold_ms: float, max_wait_min: float) -> float:
