@@ -219,11 +219,13 @@ def main(argv=None) -> int:
     slam.warmup(scans=seq.scans[:n_warm], timestamps=seq.timestamps[:n_warm])
     print(f"warmed device programs in {time.time() - t0:.1f} s")
     try:
-        from open3d_slam_tpu.utils.device import probe_session_ms
+        from open3d_slam_tpu.utils.device import probe_rtt_ms, probe_session_ms
         session_probe = round(probe_session_ms(), 1)
-        print(f"session probe: {session_probe} ms (healthy ~60-70)")
+        session_rtt = round(probe_rtt_ms(), 1)
+        print(f"session probe: {session_probe} ms compute, "
+              f"{session_rtt} ms rtt (healthy ~65 / ~30)")
     except Exception:
-        session_probe = None
+        session_probe = session_rtt = None
     rtf = run_sequence(slam, seq,
                        num_accumulated=args.num_accumulated_range_data,
                        skip_first=0 if args.no_skip_first else SKIP_FIRST_N_POINT_CLOUDS,
@@ -258,6 +260,7 @@ def main(argv=None) -> int:
                 "drift_pct": round(rpe_res.drift_pct, 3),
                 "rtf": round(rtf, 3),
                 "session_probe_ms": session_probe,
+                "session_rtt_ms": session_rtt,
                 # run-health counters + exact repro invocation
                 **slam.get_health(),
                 "argv": list(argv) if argv is not None else sys.argv[1:],

@@ -43,6 +43,25 @@ def probe_session_ms(repeats: int = 3) -> float:
     return float(sorted(ts)[len(ts) // 2])
 
 
+def probe_rtt_ms(repeats: int = 3) -> float:
+    """Median round-trip of a 1-element device pull (~30 ms healthy on the
+    tunnel).  Compute throughput and command latency degrade independently
+    under contention; replay is bound by BOTH."""
+    import time
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    x = jnp.arange(4)
+    np.asarray(x)
+    ts = []
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        np.asarray(x + i)
+        ts.append((time.perf_counter() - t0) * 1e3)
+    return float(sorted(ts)[len(ts) // 2])
+
+
 def prefetch_to_host(*arrays) -> None:
     """Start a non-blocking D2H copy of each array (best effort)."""
     for a in arrays:

@@ -29,12 +29,15 @@ def probe_session_ms() -> float:
 
 
 def wait_for_healthy_session(threshold_ms: float, max_wait_min: float) -> float:
+    sys.path.insert(0, REPO)
+    from open3d_slam_tpu.utils.device import probe_rtt_ms
     t_end = time.time() + max_wait_min * 60
     while True:
         ms = probe_session_ms()
-        print(f"[probe] session heavy-op: {ms:.0f} ms "
-              f"(healthy <= {threshold_ms:.0f})", flush=True)
-        if ms <= threshold_ms or time.time() > t_end:
+        rtt = probe_rtt_ms()
+        print(f"[probe] session heavy-op: {ms:.0f} ms, rtt: {rtt:.0f} ms "
+              f"(healthy <= {threshold_ms:.0f} / 80)", flush=True)
+        if (ms <= threshold_ms and rtt <= 80.0) or time.time() > t_end:
             return ms
         time.sleep(180)
 
