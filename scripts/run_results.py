@@ -44,7 +44,9 @@ def wait_for_healthy_session(threshold_ms: float, max_wait_min: float) -> float:
 
 def run_one(name: str, budget: float, results_dir: str) -> dict:
     from open3d_slam_tpu.cli import mapping
-    out_json = os.path.join(results_dir, f"{name}.json")
+    # Attempts write to a scratch file; only the winning run is copied
+    # onto the recorded artifact (which keep-protection compares against).
+    out_json = os.path.join(results_dir, f"{name}.attempt.json")
     argv = ["--sim", name, "--undistort", "--eval-json", out_json,
             "--max-wall-sec", str(budget)]
     print(f"\n=== {name}: python -m open3d_slam_tpu.cli.mapping "
@@ -110,6 +112,12 @@ def main():
         out_json = os.path.join(args.results_dir, f"{n}.json")
         keep = {k: v for k, v in best.items()
                 if k not in ("returncode", "wall_s", "cmd")}
+        if "argv" in keep:   # canonical artifact path in the repro line
+            keep["argv"] = [a.replace(".attempt.json", ".json")
+                            for a in keep["argv"]]
+        attempt_file = os.path.join(args.results_dir, f"{n}.attempt.json")
+        if os.path.exists(attempt_file):
+            os.remove(attempt_file)
         if os.path.exists(out_json):
             try:
                 prev = json.load(open(out_json))
