@@ -414,6 +414,10 @@ def main():
         out["localize_t_err_m"] = round(r[3], 4)
         out["localize_success_rate"] = round(r[4], 2)
         out["localize_t_errs"] = [round(e, 3) for e in r[5]]
+    try:   # session reading right before the headline pipeline stage
+        out["session_probe_at_pipeline_ms"] = round(probe_session_ms(), 1)
+    except Exception:
+        pass
     r = stage("full_pipeline", 120, bench_full_pipeline)
     if r is not None:
         out["pipeline_p50_ms_per_scan"] = round(r[0], 2)
