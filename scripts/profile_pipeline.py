@@ -68,9 +68,18 @@ def main():
     budget_s = float(sys.argv[2]) if len(sys.argv) > 2 else 500.0
     t_budget0 = time.perf_counter()
 
-    spec = lidar_sim.SimSequenceSpec(
-        name="bench", sensor="vlp16", world="yard", trajectory="circle",
-        n_scans=n_scans, seed=11)
+    # Optional 3rd arg: a named benchmark sequence (e.g. os0_corridor_walk)
+    # to profile that sensor/world's shapes instead of the vlp16 default.
+    named = [k for k in sorted(lidar_sim.BENCHMARK_SEQUENCES)
+             if len(sys.argv) > 3 and k.startswith(sys.argv[3])]
+    if named:
+        import dataclasses
+        spec = dataclasses.replace(lidar_sim.BENCHMARK_SEQUENCES[named[0]],
+                                   n_scans=n_scans)
+    else:
+        spec = lidar_sim.SimSequenceSpec(
+            name="bench", sensor="vlp16", world="yard", trajectory="circle",
+            n_scans=n_scans, seed=11)
     t0 = time.perf_counter()
     seq = lidar_sim.make_sim_sequence(spec)
     print(f"sim render: {time.perf_counter() - t0:.1f} s "
